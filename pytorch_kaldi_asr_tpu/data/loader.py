@@ -1,0 +1,234 @@
+"""Batched data loading with TPU-friendly static shapes.
+
+Replaces the reference's ``pytorch/utils/BatchLoader.py``.  Same public
+behavior — iterate ``(keys, src, src_mask, tgt, tgt_mask)`` batches with
+per-epoch shuffling and ``drop``/``all`` tail modes (BatchLoader.py:24-30,
+52-83) — but re-designed for XLA:
+
+- every batch in an epoch has identical shapes (bucketed padding rather than
+  per-batch max), so the train step compiles once per bucket, not per batch;
+- in ``all`` mode the ragged tail batch is padded up to the static batch size
+  and flagged with a per-utterance ``valid`` mask instead of shrinking the
+  array (shape changes would trigger recompilation mid-eval);
+- an async device-prefetch wrapper overlaps host padding with device compute.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from pytorch_kaldi_asr_tpu.io import kaldi_io
+from pytorch_kaldi_asr_tpu.data import instances as instances_handler
+from pytorch_kaldi_asr_tpu.utils import constants
+from pytorch_kaldi_asr_tpu.utils.logging import info
+
+
+class Batch(NamedTuple):
+    keys: tuple  # utterance keys, length = batch_size
+    src: np.ndarray  # [B, S, D] float32 features
+    src_mask: np.ndarray  # [B, S] uint8, 1 = real frame
+    tgt: np.ndarray  # [B, T] int32 label ids (BOS ... EOS)
+    tgt_mask: np.ndarray  # [B, T] uint8
+    valid: np.ndarray  # [B] uint8, 0 = padding utterance (tail of 'all' mode)
+
+
+def build_triples(feats_scp, text_file, vocab):
+    """Join feats.scp + text + vocab into (key, rxfilename, label-id) triples.
+
+    Mirrors reference train.py:20-55: BOS/EOS wrap, UNK fallback, keys present
+    in feats.scp but missing from text are silently dropped."""
+    utterances = dict(kaldi_io.scp_entries(feats_scp))
+    info("get %d utterances from %s.", len(utterances), feats_scp)
+
+    label_text = {}
+    with open(text_file, encoding="utf-8") as f:
+        for line in f:
+            data = line.split()
+            if data:
+                label_text[data[0]] = data[1:]
+    info("get %d labels from %s.", len(label_text), text_file)
+
+    label_text = instances_handler.add_control_words(label_text)
+    label = instances_handler.apply_vocab(label_text, vocab, "word2idx")
+
+    triples = [
+        (key, utterances[key], label[key]) for key in utterances if key in label
+    ]
+    info("match %d utterance-label pairs.", len(triples))
+    return triples
+
+
+def _round_up(x, multiple):
+    return -(-x // multiple) * multiple
+
+
+class BatchLoader:
+    """Iterator over fixed-shape :class:`Batch` objects.
+
+    Parameters
+    ----------
+    triples:   list of ``(key, rxfilename_or_matrix, label_ids)``
+    batch_size: utterances per batch (static)
+    mode:      ``'drop'`` discards the ragged tail batch (training;
+               reference BatchLoader.py:24-30), ``'all'`` pads it and marks
+               padding rows with ``valid == 0`` (eval/decode).
+    pre_load:  read every feature matrix up front (TIMIT-scale corpora);
+               otherwise matrices are read per batch.
+    src_pad / tgt_pad: static padded lengths; default = corpus max rounded up
+               to a multiple of 8 frames / 8 tokens (sublane-friendly).
+    seed:      epoch shuffling seed (epoch index is mixed in so every epoch
+               gets a fresh deterministic permutation).
+    """
+
+    def __init__(
+        self,
+        triples,
+        batch_size,
+        mode="drop",
+        pre_load=True,
+        src_pad=None,
+        tgt_pad=None,
+        seed=0,
+        shuffle=True,
+    ):
+        if mode not in ("drop", "all"):
+            raise ValueError("mode of BatchLoader can only be [all] or [drop]")
+        if not triples:
+            raise ValueError("empty dataset")
+        self.keys = [t[0] for t in triples]
+        self.src_refs = [t[1] for t in triples]
+        self.labels = [np.asarray(t[2], dtype=np.int32) for t in triples]
+        self.batch_size = batch_size
+        self.mode = mode
+        self.pre_load = pre_load
+        self.seed = seed
+        self.shuffle = shuffle
+        self.epoch = 0
+
+        if self.pre_load:
+            self._feats = [self._load(ref) for ref in self.src_refs]
+        else:
+            self._feats = None
+
+        src_lens = (
+            [m.shape[0] for m in self._feats]
+            if self._feats is not None
+            else [kaldi_io.mat_num_rows(r) for r in self.src_refs]
+        )
+        self.src_pad = src_pad or _round_up(max(src_lens), 8)
+        self.tgt_pad = tgt_pad or _round_up(max(len(l) for l in self.labels), 8)
+        self.feat_dim = (
+            self._feats[0].shape[1]
+            if self._feats is not None
+            else self._load(self.src_refs[0]).shape[1]
+        )
+
+    @staticmethod
+    def _load(ref):
+        if isinstance(ref, np.ndarray):
+            return ref
+        return kaldi_io.read_mat(ref)
+
+    def __len__(self):
+        n = len(self.keys) // self.batch_size
+        if self.mode == "all" and len(self.keys) % self.batch_size:
+            n += 1
+        return n
+
+    @property
+    def num_batch(self):
+        return len(self)
+
+    def __iter__(self):
+        order = np.arange(len(self.keys))
+        if self.shuffle:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch])
+            )
+            rng.shuffle(order)
+        self.epoch += 1
+
+        n_full = len(self.keys) // self.batch_size
+        batches = [
+            order[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_full)
+        ]
+        tail = order[n_full * self.batch_size :]
+        if self.mode == "all" and len(tail):
+            # pad the tail up to batch_size with repeats, valid=0
+            pad = np.resize(tail, self.batch_size - len(tail))
+            batches.append(np.concatenate([tail, pad]))
+            tail_valid = len(tail)
+        else:
+            tail_valid = None
+
+        for bi, idx in enumerate(batches):
+            yield self._make_batch(
+                idx,
+                tail_valid if (tail_valid is not None and bi == len(batches) - 1)
+                else self.batch_size,
+            )
+
+    def _make_batch(self, idx, n_valid):
+        feats = [
+            self._feats[i] if self._feats is not None else self._load(self.src_refs[i])
+            for i in idx
+        ]
+        labels = [self.labels[i] for i in idx]
+        src, src_mask = instances_handler.pad_to_longest(feats, self.src_pad)
+        tgt, tgt_mask = instances_handler.pad_to_longest(labels, self.tgt_pad)
+        valid = np.zeros(self.batch_size, dtype=np.uint8)
+        valid[:n_valid] = 1
+        return Batch(
+            keys=tuple(self.keys[i] for i in idx),
+            src=src.astype(np.float32),
+            src_mask=src_mask,
+            tgt=tgt.astype(np.int32),
+            tgt_mask=tgt_mask,
+            valid=valid,
+        )
+
+
+def make_batch_loader(
+    data_dir, vocab, batch_size, mode="drop", **kwargs
+):
+    """Reference ``initialize_batch_loader`` equivalent (train.py:20-55):
+    joins ``<data_dir>/feats.scp`` and ``<data_dir>/text`` through the vocab
+    and returns a :class:`BatchLoader`."""
+    triples = build_triples(
+        f"{data_dir}/feats.scp", f"{data_dir}/text", vocab
+    )
+    return BatchLoader(triples, batch_size, mode=mode, **kwargs)
+
+
+def prefetch_to_device(iterator, size=2, device=None):
+    """Overlap host-side batch assembly with device compute by keeping
+    ``size`` batches in flight (jax.device_put is async)."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def _put(batch):
+        arrays = jax.device_put(
+            (batch.src, batch.src_mask, batch.tgt, batch.tgt_mask, batch.valid),
+            device,
+        )
+        return Batch(batch.keys, *arrays)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue.append(_put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(_put(next(it)))
+        except StopIteration:
+            pass
+        yield out

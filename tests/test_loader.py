@@ -1,0 +1,82 @@
+"""Tests for the static-shape BatchLoader."""
+
+import numpy as np
+import pytest
+
+from pytorch_kaldi_asr_tpu.data.loader import BatchLoader, build_triples
+from pytorch_kaldi_asr_tpu.io import kaldi_io
+
+
+def _make_triples(n, dim=5, seed=0):
+    rng = np.random.default_rng(seed)
+    triples = []
+    for i in range(n):
+        feat = rng.normal(size=(int(rng.integers(3, 12)), dim)).astype(np.float32)
+        label = np.array([2] + list(rng.integers(4, 10, size=rng.integers(1, 5))) + [3])
+        triples.append((f"utt{i:03d}", feat, label))
+    return triples
+
+
+def test_static_shapes_across_batches():
+    loader = BatchLoader(_make_triples(10), batch_size=3, mode="drop")
+    shapes = {(b.src.shape, b.tgt.shape) for b in loader}
+    assert len(shapes) == 1  # single compiled shape per epoch
+    assert len(list(loader)) == 3  # 10 // 3, tail dropped
+
+
+def test_all_mode_pads_tail_with_valid_mask():
+    loader = BatchLoader(_make_triples(10), batch_size=3, mode="all", shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 4
+    assert batches[-1].valid.sum() == 1  # one real utterance in the tail
+    assert all(b.src.shape == batches[0].src.shape for b in batches)
+
+
+def test_epoch_shuffling_changes_order_deterministically():
+    loader = BatchLoader(_make_triples(9), batch_size=3, seed=42)
+    first = [b.keys for b in loader]
+    second = [b.keys for b in loader]
+    assert first != second  # new epoch, new permutation
+    loader2 = BatchLoader(_make_triples(9), batch_size=3, seed=42)
+    assert [b.keys for b in loader2] == first  # same seed, same epoch → same
+
+
+def test_masks_match_lengths():
+    triples = _make_triples(4)
+    loader = BatchLoader(triples, batch_size=4, mode="all", shuffle=False)
+    batch = next(iter(loader))
+    lens = {t[0]: len(t[1]) for t in triples}
+    for i, key in enumerate(batch.keys):
+        assert batch.src_mask[i].sum() == lens[key]
+
+
+def test_build_triples_joins_and_drops_unmatched(tmp_path):
+    mats = {"a": np.ones((3, 2), np.float32), "b": np.ones((2, 2), np.float32)}
+    ark, scp = tmp_path / "f.ark", tmp_path / "f.scp"
+    with kaldi_io.ArkWriter(str(ark), str(scp)) as w:
+        for k, m in mats.items():
+            w.write(k, m)
+    (tmp_path / "text").write_text("a hello world\nc orphan\n")
+    vocab = {"<blank>": 0, "<unk>": 1, "<s>": 2, "</s>": 3, "hello": 4, "world": 5}
+    triples = build_triples(str(scp), str(tmp_path / "text"), vocab)
+    assert len(triples) == 1  # 'b' has no text, 'c' has no feats
+    key, rx, label = triples[0]
+    assert key == "a"
+    np.testing.assert_array_equal(label, [2, 4, 5, 3])  # BOS hello world EOS
+
+
+def test_lazy_loading(tmp_path):
+    mats = {f"u{i}": np.full((i + 2, 3), i, np.float32) for i in range(5)}
+    ark, scp = tmp_path / "f.ark", tmp_path / "f.scp"
+    with kaldi_io.ArkWriter(str(ark), str(scp)) as w:
+        for k, m in mats.items():
+            w.write(k, m)
+    triples = [
+        (k, rx, np.array([2, 4, 3])) for k, rx in kaldi_io.scp_entries(str(scp))
+    ]
+    loader = BatchLoader(triples, batch_size=2, pre_load=False, shuffle=False)
+    batch = next(iter(loader))
+    assert batch.src.shape[0] == 2
+    np.testing.assert_array_equal(
+        batch.src[0][: mats[batch.keys[0]].shape[0]], mats[batch.keys[0]]
+    )
