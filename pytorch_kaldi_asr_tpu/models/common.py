@@ -1,0 +1,123 @@
+"""Shared model building blocks: positional tables, attention masks, frame
+folding, layer norm, splicing, dropout.
+
+Numerical contracts follow the reference model family so that posteriors (and
+hence WER) match:
+
+- sinusoid table with a zeroed row 0 (reference Models.py:16-25 — the
+  ``padding_idx=0`` quirk means position 0 always contributes a zero vector);
+- banded ("time-restricted") attention masks: query t may attend keys in
+  ``[t+start, t+end]`` inclusive (Models.py:38-49);
+- layer norm with ``eps`` added to the *unbiased* std (torch ``std`` divides
+  by N-1), and the reference's skip-when-length-1 quirk exposed as a flag
+  (Modules.py:32-51);
+- frame folding: stack ``fold`` consecutive frames, subsample the mask at
+  ``[fold-1::fold]`` (Models.py:51-65).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def position_encoding_table(n_position, d_model):
+    """Sinusoid position table [n_position, d_model]; row 0 is zeros."""
+    pos = np.arange(n_position, dtype=np.float64)[:, None]
+    j = np.arange(d_model, dtype=np.float64)[None, :]
+    angle = pos / np.power(10000.0, 2 * (j // 2) / d_model)
+    table = np.zeros((n_position, d_model), dtype=np.float64)
+    table[1:, 0::2] = np.sin(angle[1:, 0::2])
+    table[1:, 1::2] = np.cos(angle[1:, 1::2])
+    return jnp.asarray(table, dtype=jnp.float32)
+
+
+def padding_attn_mask(mask_q, mask_k):
+    """True where attention must be BLOCKED because the key is padding.
+
+    ``mask_q``/``mask_k`` are [B, L] validity masks (1 = real).  Matches
+    reference ``get_attn_padding_mask`` (Models.py:27-36): block depends only
+    on the key being PAD; returns [B, Lq, Lk] bool."""
+    blocked = (mask_k == 0)[:, None, :]
+    return jnp.broadcast_to(blocked, (mask_q.shape[0], mask_q.shape[1], mask_k.shape[1]))
+
+
+def banded_attn_mask(length, start, end, dtype=jnp.bool_):
+    """True where attention must be BLOCKED by the (start, end) band.
+
+    Position t may attend positions ``[t+start, t+end]`` inclusive; everything
+    else is blocked (reference ``get_attn_subsequent_mask``, Models.py:38-49).
+    Returns [L, L] bool (broadcastable over batch)."""
+    q = jnp.arange(length)[:, None]
+    k = jnp.arange(length)[None, :]
+    rel = k - q
+    allowed = (rel >= start) & (rel <= end)
+    return (~allowed).astype(dtype)
+
+
+def fold_seq_and_mask(seq, pad_mask, fold):
+    """Stack ``fold`` consecutive frames: [B, L, D] → [B, L//fold, D*fold];
+    the validity mask is subsampled at ``[fold-1::fold]``."""
+    if fold == 1:
+        return seq, pad_mask
+    if fold < 1:
+        raise ValueError("invalid data fold parameter")
+    b, l, d = seq.shape
+    l_trim = l - l % fold
+    seq = seq[:, :l_trim].reshape(b, l_trim // fold, d * fold)
+    pad_mask = pad_mask[:, fold - 1 :: fold][:, : l_trim // fold]
+    return seq, pad_mask
+
+
+def layer_norm(z, gamma, beta, eps=1e-3, skip_len1=True):
+    """Reference-style layer norm (Modules.py:42-51).
+
+    Differences from standard LN, preserved deliberately:
+    - normalizes by the UNBIASED std (÷(N-1)) with ``eps`` added to the std
+      itself rather than the variance;
+    - when the sequence axis (axis 1) has length 1, the op is the identity
+      (``skip_len1``) — this fires on the first step of autoregressive
+      decoding in the reference.
+    """
+    if skip_len1 and z.shape[1] == 1:
+        return z
+    mu = jnp.mean(z, axis=-1, keepdims=True)
+    var = jnp.sum((z - mu) ** 2, axis=-1, keepdims=True) / (z.shape[-1] - 1)
+    sigma = jnp.sqrt(var)
+    out = (z - mu) / (sigma + eps)
+    return out * gamma + beta
+
+
+def splice_frames(x, context):
+    """Frame splicing over a context index list: concatenate zero-padded
+    shifted copies along the feature axis (reference TDNN.py ConcatLayer:6-28).
+
+    x: [B, L, D] → [B, L, D*len(context)], feature blocks in context order."""
+    context = list(context)
+    pad_head = max(0, -context[0])
+    pad_end = max(0, context[-1])
+    l = x.shape[1]
+    padded = jnp.pad(x, ((0, 0), (pad_head, pad_end), (0, 0)))
+    pieces = [
+        jax.lax.dynamic_slice_in_dim(padded, c + pad_head, l, axis=1)
+        for c in context
+    ]
+    return jnp.concatenate(pieces, axis=2)
+
+
+def dropout(x, rate, rng, train):
+    """Inverted dropout; identity when not training or rate == 0."""
+    if not train or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def xavier_normal(rng, shape, fan_in, fan_out, dtype=jnp.float32):
+    """Xavier/Glorot normal with explicit fans (matches torch
+    ``init.xavier_normal_`` when given the same fans)."""
+    std = float(np.sqrt(2.0 / (fan_in + fan_out)))
+    return std * jax.random.normal(rng, shape, dtype=dtype)
