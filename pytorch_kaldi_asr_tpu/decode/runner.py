@@ -1,0 +1,71 @@
+"""Dataset-level decoding: batches → beam search → n-best text file.
+
+Output contract matches the reference exactly (decode.py:151-161): one line
+``key\\tscore\\thyp words`` per n-best entry, where the hypothesis strips the
+leading BOS and the final token (EOS when the hypothesis finished), and keys
+repeat for n-best > 1 (the rescorer groups by key, rescore.py:36-43)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pytorch_kaldi_asr_tpu.decode.beam import beam_search
+from pytorch_kaldi_asr_tpu.utils import constants
+from pytorch_kaldi_asr_tpu.utils.logging import info
+
+
+def nbest_from_result(result, nbest):
+    """Extract per-utterance n-best (token_lists, scores) from a BeamResult.
+    Lanes are already sorted by score."""
+    tokens = np.asarray(result.tokens)
+    scores = np.asarray(result.scores)
+    lengths = np.asarray(result.lengths)
+    out = []
+    for b in range(tokens.shape[0]):
+        hyps = []
+        for lane in range(min(nbest, tokens.shape[1])):
+            length = int(lengths[b, lane])
+            seq = tokens[b, lane, :length].tolist()
+            hyps.append((seq, float(scores[b, lane])))
+        out.append(hyps)
+    return out
+
+
+def ids_to_words(ids, idx2word):
+    return [idx2word.get(int(i), constants.UNK_WORD) for i in ids]
+
+
+def decode_dataset(params, cfg, loader, word2idx, *, beam_size, nbest,
+                   max_token_seq_len, save_result_file):
+    """Decode every batch of ``loader`` (mode='all') and write the n-best
+    file.  Returns the number of lines written."""
+    if nbest > beam_size:
+        raise ValueError("nbest should not be larger than beam_size")
+    idx2word = {index: word for word, index in word2idx.items()}
+    lines = 0
+    with open(save_result_file, "w", encoding="utf-8") as f:
+        for batch in loader:
+            result = beam_search(
+                params, cfg, batch.src, batch.src_mask,
+                beam_size=beam_size, max_len=max_token_seq_len,
+            )
+            batch_nbest = nbest_from_result(result, nbest)
+            lines += write_nbest(f, batch.keys, batch_nbest, idx2word,
+                                 valid=batch.valid)
+    info("decode results saved to %s (%d lines)", save_result_file, lines)
+    return lines
+
+
+def write_nbest(f, keys, batch_nbest, idx2word, valid=None):
+    """Write n-best lines for one batch; skips loader-padded tail rows."""
+    written = 0
+    for i, (key, hyps) in enumerate(zip(keys, batch_nbest)):
+        if valid is not None and not valid[i]:
+            continue
+        for seq, score in hyps:
+            # strip BOS and the final token (EOS for finished hypotheses),
+            # as the reference does (decode.py:157)
+            words = ids_to_words(seq[1:-1], idx2word)
+            f.write(f"{key}\t{score}\t{' '.join(words)}\n")
+            written += 1
+    return written

@@ -1,0 +1,177 @@
+"""Epoch driver: the reference's train()/train_epoch()/combine() control flow
+(train.py:127-322) over jitted steps.
+
+Cadence preserved: per epoch — full train pass, then eval on 10 train
+batches, full dev, full test (train.py:229-249); best model tracked by dev
+token accuracy (not WER, train.py:241-244); checkpoints written every
+``save_interval`` epochs plus every epoch inside the final window
+(train.py:252); final combine averages up to 30 checkpoints counting down
+from the best epoch and keeps the prefix-average with the best dev accuracy
+(train.py:287-322, 397-402)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from pytorch_kaldi_asr_tpu.train.checkpoint import (
+    average_params,
+    load_checkpoint,
+    save_checkpoint,
+)
+from pytorch_kaldi_asr_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from pytorch_kaldi_asr_tpu.utils.logging import info, procedure
+
+
+def run_train_epoch(state, train_step, loader, prefetch=None):
+    """One full training pass; returns (state, loss/word, accuracy)."""
+    total_loss = total_correct = total_words = 0.0
+    batches = prefetch(loader) if prefetch else loader
+    for batch in batches:
+        state, metrics = train_step(
+            state, batch.src, batch.src_mask, batch.tgt, batch.tgt_mask
+        )
+        total_loss += float(metrics["loss"])
+        total_correct += float(metrics["n_correct"])
+        total_words += float(metrics["n_words"])
+    return state, total_loss / max(total_words, 1), total_correct / max(total_words, 1)
+
+
+def run_eval(params, eval_step, loader, max_batches=None):
+    """Evaluation pass; respects the loader's ``valid`` tail mask.
+    ``max_batches`` implements the reference's 10-batch train-set eval."""
+    total_loss = total_correct = total_words = 0.0
+    for i, batch in enumerate(loader):
+        metrics = eval_step(
+            params, batch.src, batch.src_mask, batch.tgt, batch.tgt_mask,
+            batch.valid,
+        )
+        total_loss += float(metrics["loss"])
+        total_correct += float(metrics["n_correct"])
+        total_words += float(metrics["n_words"])
+        if max_batches is not None and i + 1 >= max_batches:
+            break
+    return total_loss / max(total_words, 1), total_correct / max(total_words, 1)
+
+
+def train_model(
+    params,
+    cfg,
+    train_loader,
+    dev_loader,
+    test_loader,
+    save_model_dir,
+    *,
+    epochs=500,
+    start_lr=0.001,
+    soft_coefficient=25000.0,
+    save_interval=1,
+    smoothing=False,
+    seed=0,
+    mesh=None,
+    eval_train_batches=10,
+):
+    """Full training driver; returns (best_params, best_epoch, best_accu)."""
+    os.makedirs(save_model_dir, exist_ok=True)
+    state, tx = create_train_state(
+        params, start_lr=start_lr, soft_coefficient=soft_coefficient,
+        rng=jax.random.PRNGKey(seed),
+    )
+    train_step = make_train_step(cfg, tx, smoothing=smoothing, mesh=mesh)
+    eval_step = make_eval_step(cfg, mesh=mesh)
+
+    best_accu, best_epoch, best_params = 0.0, 0, params
+    train_start = time.time()
+    for epoch in range(1, epochs + 1):
+        info("trainning epoch %d.", epoch)
+        start = time.time()
+        state, loss, accu = run_train_epoch(state, train_step, train_loader)
+        info(
+            "-----(Training)----- accuracy: %3.2f %%, elapse: %3.2f min",
+            100 * accu, (time.time() - start) / 60,
+        )
+
+        _, tr_accu = run_eval(state.params, eval_step, train_loader,
+                              max_batches=eval_train_batches)
+        info(
+            "-----(evaluating train set for %d batch)----- accuracy: %3.2f %%",
+            eval_train_batches, 100 * tr_accu,
+        )
+        _, dev_accu = run_eval(state.params, eval_step, dev_loader)
+        info("-----(evaluating dev set)----- accuracy: %3.2f %%", 100 * dev_accu)
+        if dev_accu > best_accu:
+            # snapshot to host: the jitted step donates the state, so keeping
+            # a device reference would be invalidated by the next epoch
+            best_accu, best_epoch = dev_accu, epoch
+            best_params = jax.device_get(state.params)
+        _, test_accu = run_eval(state.params, eval_step, test_loader)
+        info("-----(evaluating test set)----- accuracy: %3.2f %%", 100 * test_accu)
+
+        if epoch % save_interval == 0 or epochs - epoch < save_interval:
+            path = os.path.join(save_model_dir, f"epoch.{epoch}")
+            save_checkpoint(path, state.params, cfg, epoch=epoch,
+                            step=int(state.step))
+            info("checkpoint of epoch %d is saved to %s", epoch, path)
+
+    info(
+        "trainning finish. time consume: %3.2f minute; "
+        "best valid accuracy: %3.2f %%, on epoch %d",
+        (time.time() - train_start) / 60, 100 * best_accu, best_epoch,
+    )
+    best_path = os.path.join(
+        save_model_dir, f"best.epoch{best_epoch}.accu{100 * best_accu:3.2f}"
+    )
+    save_checkpoint(best_path, best_params, cfg, epoch=best_epoch,
+                    extra={"dev_accu": best_accu})
+    info("best model is saved to %s", best_path)
+    return best_params, best_epoch, best_accu
+
+
+def combine_checkpoints(save_model_dir, best_epoch, cfg, eval_loader, *,
+                        num_model=30, mesh=None):
+    """Progressive checkpoint averaging ("combine", train.py:284-322):
+    average epochs ``best_epoch, best_epoch-1, ...``, evaluating each prefix
+    average on ``eval_loader`` and keeping the best.  Saves
+    ``combined.accuXX`` and returns (params, accu, path)."""
+    procedure("combining model with model averaging...")
+    eval_step = make_eval_step(cfg, mesh=mesh)
+
+    candidates = []
+    for e in range(best_epoch, max(best_epoch - num_model, 0), -1):
+        path = os.path.join(save_model_dir, f"epoch.{e}")
+        if os.path.isdir(path):
+            candidates.append(path)
+    if not candidates:
+        raise FileNotFoundError(
+            f"no epoch.* checkpoints under {save_model_dir}"
+        )
+    info("model loaded (%d candidates)", len(candidates))
+
+    best_accu, best_params = -1.0, None
+    running = None
+    for i, path in enumerate(candidates):
+        ckpt = load_checkpoint(path)
+        if i == 0:
+            running = ckpt["params"]
+        else:
+            running = average_params(running=running, new=ckpt["params"],
+                                     count=i)
+        info("averaging %d models", i + 1)
+        _, accu = run_eval(running, eval_step, eval_loader)
+        info("-----(evaluating combining set)----- accuracy: %3.2f %%",
+             100 * accu)
+        if accu > best_accu:
+            best_accu, best_params = accu, running
+
+    info("best combined model with accuracy: %3.2f %%", 100 * best_accu)
+    out = os.path.join(save_model_dir, f"combined.accu{100 * best_accu:3.2f}")
+    save_checkpoint(out, best_params, cfg, extra={"combined_accu": best_accu})
+    return best_params, best_accu, out

@@ -1,0 +1,107 @@
+"""Train state and jitted train/eval steps.
+
+The hot path (reference train.py:145-200) becomes a single compiled XLA
+program: forward (teacher-forced shift goal=tgt[:,1:], input=tgt[:,:-1],
+train.py:163-165), CE loss, backward, Adam update with the hyperbolic LR
+schedule — no per-batch host↔device round trips beyond feeding the batch.
+
+``make_train_step``/``make_eval_step`` optionally close over a
+``jax.sharding.Mesh``: with a mesh, inputs are sharded batch-parallel and the
+gradient all-reduce rides the mesh's ICI collectives via pjit (the idiomatic
+upgrade over the reference's single-GPU binding, train.py:352-359)."""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pytorch_kaldi_asr_tpu.models.transformer import transformer_forward
+from pytorch_kaldi_asr_tpu.train.loss import cross_entropy_loss
+from pytorch_kaldi_asr_tpu.train.optim import make_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+    rng: jnp.ndarray  # dropout PRNG key, folded per step
+
+
+def create_train_state(params, *, start_lr=0.001, soft_coefficient=25000.0,
+                       rng=None, **optim_kw):
+    tx = make_optimizer(params, start_lr, soft_coefficient, **optim_kw)
+    opt_state = tx.init(params)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32), rng), tx
+
+
+def _shift_for_teacher_forcing(tgt, tgt_mask):
+    """goal = tgt[:, 1:]; decoder input = tgt[:, :-1] (train.py:163-165)."""
+    return tgt[:, :-1], tgt_mask[:, :-1], tgt[:, 1:]
+
+
+def make_train_step(cfg, tx, *, smoothing=False, donate=True, mesh=None,
+                    batch_axis="data"):
+    """Build the jitted train step:
+    (state, src, src_mask, tgt, tgt_mask) → (state, metrics dict).
+
+    With ``mesh``, arrays are constrained to batch-parallel shardings and the
+    compiler inserts the gradient psum over the mesh."""
+
+    def loss_fn(params, src, src_mask, tgt_in, tgt_in_mask, goal, rng):
+        logits = transformer_forward(
+            params, cfg, src, src_mask, tgt_in, tgt_in_mask,
+            train=True, rng=rng,
+        )
+        loss, n_correct, n_words = cross_entropy_loss(
+            logits, goal, smoothing=smoothing
+        )
+        return loss, (n_correct, n_words)
+
+    def step_fn(state, src, src_mask, tgt, tgt_mask):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sharding = NamedSharding(mesh, P(batch_axis))
+            src = jax.lax.with_sharding_constraint(src, batch_sharding)
+            tgt = jax.lax.with_sharding_constraint(tgt, batch_sharding)
+        tgt_in, tgt_in_mask, goal = _shift_for_teacher_forcing(tgt, tgt_mask)
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        (loss, (n_correct, n_words)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, src, src_mask, tgt_in, tgt_in_mask, goal, step_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1, state.rng)
+        metrics = {"loss": loss, "n_correct": n_correct, "n_words": n_words}
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_eval_step(cfg, *, smoothing=False, mesh=None, batch_axis="data"):
+    """Jitted eval step: (params, src, src_mask, tgt, tgt_mask, valid) →
+    metrics.  ``valid`` excludes the loader's padded tail rows so 'all'-mode
+    evaluation counts exactly the real utterances."""
+
+    def step_fn(params, src, src_mask, tgt, tgt_mask, valid):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sharding = NamedSharding(mesh, P(batch_axis))
+            src = jax.lax.with_sharding_constraint(src, batch_sharding)
+        tgt_in, tgt_in_mask, goal = _shift_for_teacher_forcing(tgt, tgt_mask)
+        logits = transformer_forward(
+            params, cfg, src, src_mask, tgt_in, tgt_in_mask, train=False
+        )
+        loss, n_correct, n_words = cross_entropy_loss(
+            logits, goal, smoothing=smoothing, extra_mask=valid
+        )
+        return {"loss": loss, "n_correct": n_correct, "n_words": n_words}
+
+    return jax.jit(step_fn)

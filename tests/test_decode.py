@@ -1,0 +1,150 @@
+"""Decode tests: lattice semantics, on-device beam vs host-lattice oracle,
+and the n-best file format."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pytorch_kaldi_asr_tpu.decode import Lattice, beam_search
+from pytorch_kaldi_asr_tpu.decode.runner import (
+    decode_dataset,
+    nbest_from_result,
+)
+from pytorch_kaldi_asr_tpu.models.transformer import (
+    decode_logits,
+    encode,
+    init_transformer,
+)
+from pytorch_kaldi_asr_tpu.utils import constants
+from tests.test_models import small_cfg
+
+
+def test_lattice_reference_scenario():
+    """The beam-competition scenario from the reference's inline self-test
+    (Lattice.py:109-133): finished hypotheses must out-compete extensions."""
+    lat = Lattice(max_length=10, beam_size=3)
+    lat.advance(np.array([[-99, -99, -99, -4, -3, -2, -1]]))
+    assert lat.num_curr_active == 3
+    lat.advance(np.array([
+        [-99, -99, -99, -1.5, -2, -3, -4],   # hyp ending in word 6
+        [-99, -99, -99, -1.5, -3, -4, -2],   # hyp ending in word 5
+        [-99, -99, -99, -1.5, -4, -3, -2],   # hyp ending in word 4
+    ]))
+    # top-3 now: (6,EOS)=-2.5, (6,4)=-3.0, (5,EOS)=-3.5
+    seqs, scores = lat.get_results("all")
+    assert seqs[0] == [2, 6, 3] and scores[0] == -2.5
+    assert seqs[1] == [2, 6, 4] and scores[1] == -3.0
+    assert seqs[2] == [2, 5, 3] and scores[2] == -3.5
+    assert lat.num_curr_active == 1
+    lat.advance(np.array([[-99, -99, -99, -1.5, -2, -3, -4]]))
+    assert lat.done
+    seqs, scores = lat.get_results("all")
+    assert seqs == [[2, 6, 3], [2, 5, 3], [2, 6, 4, 3]]
+    np.testing.assert_allclose(scores, [-2.5, -3.5, -4.5])
+
+
+def _lattice_oracle_decode(params, cfg, src, src_mask, beam_size, max_len):
+    """Reference translate_batch semantics (decode.py:22-107): grow active
+    partial sequences on the host, batch them through the decoder each step."""
+    enc_output, src_mask_f = encode(params, cfg, jnp.asarray(src),
+                                    jnp.asarray(src_mask), train=False)
+    b = src.shape[0]
+    lattices = [Lattice(max_len, beam_size) for _ in range(b)]
+
+    for _ in range(max_len):
+        seqs, owners = [], []
+        for i, lat in enumerate(lattices):
+            if not lat.done:
+                active = lat.active_sequences()
+                seqs.extend(active)
+                owners.extend([i] * len(active))
+        if not seqs:
+            break
+        arr = jnp.asarray(np.array(seqs, np.int32))
+        mask = jnp.ones(arr.shape, jnp.uint8)
+        enc_sel = enc_output[jnp.asarray(owners)]
+        srcm_sel = src_mask_f[jnp.asarray(owners)]
+        logits = decode_logits(params, cfg, arr, mask, srcm_sel, enc_sel)
+        word_lk = np.asarray(
+            jax.nn.log_softmax(logits[:, -1, :], axis=-1)
+        )
+        end = 0
+        for lat in lattices:
+            if lat.done:
+                continue
+            start, end = end, end + lat.num_curr_active
+            lat.advance(word_lk[start:end])
+    return lattices
+
+
+def test_beam_matches_lattice_oracle():
+    cfg = small_cfg(decoder_sub_sequence=(-3, 0))
+    params = init_transformer(jax.random.PRNGKey(11), cfg)
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(3, 10, cfg.src_dim)).astype(np.float32)
+    src_mask = np.ones((3, 10), np.uint8)
+    src_mask[2, 6:] = 0
+    beam_size, max_len = 4, 12
+
+    result = beam_search(
+        params, cfg, jnp.asarray(src), jnp.asarray(src_mask),
+        beam_size=beam_size, max_len=max_len,
+    )
+    ours = nbest_from_result(result, beam_size)
+
+    lattices = _lattice_oracle_decode(params, cfg, src, src_mask, beam_size,
+                                      max_len)
+    for b, lat in enumerate(lattices):
+        seqs, scores = lat.get_results("all")
+        for lane, (seq, score) in enumerate(zip(seqs, scores)):
+            our_seq, our_score = ours[b][lane]
+            # unfinished oracle hyps have no EOS; ours reports full buffer —
+            # compare the token prefix the oracle produced
+            assert our_seq[: len(seq)] == seq, (b, lane, our_seq, seq)
+            np.testing.assert_allclose(our_score, score, atol=1e-4)
+
+
+def test_beam_all_finished_is_stable():
+    """Once every lane has EOS, further steps must not change anything."""
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    src = rng.normal(size=(2, 8, cfg.src_dim)).astype(np.float32)
+    src_mask = np.ones((2, 8), np.uint8)
+    short = beam_search(params, cfg, jnp.asarray(src), jnp.asarray(src_mask),
+                        beam_size=3, max_len=8)
+    long = beam_search(params, cfg, jnp.asarray(src), jnp.asarray(src_mask),
+                       beam_size=3, max_len=14)
+    if bool(np.asarray(short.finished).all()):
+        s = nbest_from_result(short, 3)
+        l = nbest_from_result(long, 3)
+        for b in range(2):
+            assert [h[0] for h in s[b]] == [h[0] for h in l[b]]
+
+
+def test_decode_dataset_output_format(tmp_path):
+    from pytorch_kaldi_asr_tpu.data.loader import BatchLoader
+
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(3)
+    triples = [
+        (f"utt{i}", rng.normal(size=(7, cfg.src_dim)).astype(np.float32),
+         np.array([2, 4, 3]))
+        for i in range(3)
+    ]
+    loader = BatchLoader(triples, batch_size=2, mode="all", shuffle=False)
+    word2idx = {"<blank>": 0, "<unk>": 1, "<s>": 2, "</s>": 3}
+    word2idx.update({f"w{i}": i + 4 for i in range(cfg.vocab_size - 4)})
+    out = tmp_path / "decode.txt"
+    n = decode_dataset(
+        params, cfg, loader, word2idx, beam_size=3, nbest=2,
+        max_token_seq_len=10, save_result_file=str(out),
+    )
+    lines = out.read_text().strip().split("\n")
+    assert len(lines) == n == 3 * 2  # 3 utts (tail padded row skipped) × 2
+    for line in lines:
+        key, score, *hyp = line.split("\t")
+        assert key.startswith("utt")
+        float(score)  # parseable
+        assert len(hyp) == 1  # hypothesis text field present (may be empty)
