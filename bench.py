@@ -1,0 +1,161 @@
+"""Benchmark: AM training throughput (frames/sec/chip) of the flagship TIMIT
+attention-transformer, measured on the available accelerator.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+vs_baseline compares against an empirical torch-CPU training step of the same
+model semantics (the reference publishes no numbers, BASELINE.md; its own
+CPU path is run.sh:113-127).  The baseline is measured once and cached in
+BASELINE_empirical.json so driver runs don't pay for it.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_FILE = os.path.join(REPO, "BASELINE_empirical.json")
+
+# recipe scale (reference run.sh:105-112): batch 100; length cap 500 frames
+BATCH = 100
+SRC_LEN = 500  # the recipe's hard length cap (run.sh:30-35)
+TGT_LEN = 48
+SRC_DIM = 40
+VOCAB = 52
+
+
+def _flagship_setup():
+    import jax
+
+    from pytorch_kaldi_asr_tpu.models import TransformerConfig, init_transformer
+
+    import jax.numpy as jnp
+
+    cfg = TransformerConfig(
+        src_dim=SRC_DIM, vocab_size=VOCAB, compute_dtype=jnp.bfloat16
+    )
+    rng = np.random.default_rng(0)
+    lda_in = SRC_DIM * len(cfg.lda_context)
+    lda_mat = (rng.normal(size=(lda_in, lda_in + 1)) * 0.05).astype(np.float32)
+    params = init_transformer(jax.random.PRNGKey(0), cfg, lda_mat)
+    src = rng.normal(size=(BATCH, SRC_LEN, SRC_DIM)).astype(np.float32)
+    src_mask = np.ones((BATCH, SRC_LEN), np.uint8)
+    tgt = rng.integers(4, VOCAB, size=(BATCH, TGT_LEN)).astype(np.int32)
+    tgt[:, 0] = 2
+    tgt[:, -1] = 3
+    tgt_mask = np.ones((BATCH, TGT_LEN), np.uint8)
+    return cfg, params, (src, src_mask, tgt, tgt_mask)
+
+
+def measure_jax(steps=20, warmup=3):
+    import jax
+
+    from pytorch_kaldi_asr_tpu.train import create_train_state, make_train_step
+
+    cfg, params, (src, src_mask, tgt, tgt_mask) = _flagship_setup()
+    state, tx = create_train_state(params)
+    train_step = make_train_step(cfg, tx)
+    src, src_mask, tgt, tgt_mask = jax.device_put(
+        (src, src_mask, tgt, tgt_mask)
+    )
+
+    for _ in range(warmup):
+        state, m = train_step(state, src, src_mask, tgt, tgt_mask)
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = train_step(state, src, src_mask, tgt, tgt_mask)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    frames_per_step = BATCH * SRC_LEN
+    return frames_per_step * steps / dt
+
+
+def measure_torch_baseline(steps=2, warmup=1, batch=10):
+    """Torch-CPU training step with identical model semantics (the parity
+    oracle in tests/torch_ref.py), as the empirical reference point.
+    Measured at a smaller batch (CPU throughput per frame is roughly
+    batch-independent at this scale) and reported as frames/sec."""
+    import jax
+    import torch
+
+    sys.path.insert(0, REPO)
+    from tests import torch_ref
+
+    cfg, params, (src, src_mask, tgt, tgt_mask) = _flagship_setup()
+    cfg = cfg.replace(compute_dtype=np.float32)
+    src, src_mask = src[:batch], src_mask[:batch]
+    tgt, tgt_mask = tgt[:batch], tgt_mask[:batch]
+
+    def to_torch(path, leaf):
+        keys = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        t = torch.tensor(np.asarray(leaf), dtype=torch.float32)
+        if "lda" not in keys:
+            t.requires_grad_(True)
+        return t
+
+    tparams = jax.tree_util.tree_map_with_path(to_torch, params)
+    leaves = [t for t in jax.tree_util.tree_leaves(tparams) if t.requires_grad]
+    opt = torch.optim.Adam(leaves, lr=0.001, betas=(0.9, 0.999), eps=1e-8)
+
+    src_t = torch.from_numpy(src)
+    srcm_t = torch.from_numpy(src_mask).long()
+    tgt_t = torch.from_numpy(tgt).long()
+    tgtm_t = torch.from_numpy(tgt_mask).long()
+    tgt_in, tgt_in_mask, goal = tgt_t[:, :-1], tgtm_t[:, :-1], tgt_t[:, 1:]
+
+    def step():
+        opt.zero_grad()
+        enc = torch_ref.encode(tparams, cfg, src_t, srcm_t)
+        logits = torch_ref.decode(tparams, cfg, tgt_in, tgt_in_mask, srcm_t,
+                                  enc)
+        logp = torch.log_softmax(logits, dim=-1)
+        nll = -logp.gather(-1, goal.unsqueeze(-1)).squeeze(-1)
+        loss = (nll * (goal != 0)).sum()
+        loss.backward()
+        opt.step()
+
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    dt = time.perf_counter() - t0
+    return batch * SRC_LEN * steps / dt
+
+
+def get_baseline():
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)["train_frames_per_sec_torch_cpu"]
+    value = measure_torch_baseline()
+    with open(BASELINE_FILE, "w") as f:
+        json.dump(
+            {
+                "train_frames_per_sec_torch_cpu": value,
+                "note": "torch-CPU training step, same model semantics "
+                        "(tests/torch_ref.py), batch 100 x 504 frames",
+            },
+            f, indent=1,
+        )
+    return value
+
+
+def main():
+    value = measure_jax()
+    baseline = get_baseline()
+    print(json.dumps({
+        "metric": "am_train_throughput",
+        "value": round(value, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,3 +30,28 @@ This package provides the same capabilities, designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def _apply_platform_env():
+    """Honor JAX_PLATFORMS / PKA_NUM_CPU_DEVICES even when the interpreter
+    pre-imports jax (in that case jax has already parsed its env before user
+    code could set it, and exported env vars are ignored).  No-ops if the
+    backend is already initialized."""
+    import os
+
+    platforms = os.environ.get("JAX_PLATFORMS")
+    n_cpu = os.environ.get("PKA_NUM_CPU_DEVICES")
+    if not platforms and not n_cpu:
+        return
+    try:
+        import jax
+
+        if platforms:
+            jax.config.update("jax_platforms", platforms)
+        if n_cpu:
+            jax.config.update("jax_num_cpu_devices", int(n_cpu))
+    except Exception:
+        pass
+
+
+_apply_platform_env()

@@ -365,8 +365,9 @@ def read_key_value_text(path, value_type=str):
             parts = line.split()
             if not parts:
                 continue
-            if value_type is str and len(parts) > 2:
-                out[parts[0]] = " ".join(parts[1:])
+            if value_type is str:
+                out[parts[0]] = " ".join(parts[1:])  # may be empty (e.g. an
+                # empty decode hypothesis)
             else:
                 out[parts[0]] = value_type(parts[1])
     return out
@@ -377,6 +378,48 @@ def write_key_value_text(path, table):
     with open(path, "w", encoding="utf-8") as f:
         for key, value in table.items():
             f.write(f"{key} {value}\n")
+
+
+# ---------------------------------------------------------------------------
+# rspecifiers / wspecifiers (the "scp:", "ark:", "ark,t:" table syntax the
+# Kaldi CLI contract uses, e.g. reference run.sh:33, 38-41)
+# ---------------------------------------------------------------------------
+
+
+def parse_specifier(spec):
+    """Split 'ark,t:path' → (kind, {options}, path).  kind ∈ {ark, scp}."""
+    head, _, path = spec.partition(":")
+    if not path:
+        raise ValueError(f"not a table specifier: {spec!r}")
+    parts = head.split(",")
+    kind = parts[0]
+    if kind not in ("ark", "scp"):
+        raise ValueError(f"unsupported specifier kind {kind!r} in {spec!r}")
+    return kind, set(parts[1:]), path
+
+
+def read_table(rspecifier):
+    """Iterate (key, matrix) from an rspecifier ('scp:f', 'ark:f')."""
+    kind, _opts, path = parse_specifier(rspecifier)
+    if kind == "scp":
+        return read_mat_scp(path)
+    return read_mat_ark(path)
+
+
+def open_writer(wspecifier):
+    """Make an ArkWriter from a wspecifier: 'ark:f', 'ark,t:f', or
+    'ark,scp:f.ark,f.scp'."""
+    head, _, rest = wspecifier.partition(":")
+    parts = head.split(",")
+    if parts[0] != "ark":
+        raise ValueError(f"unsupported wspecifier {wspecifier!r}")
+    text = "t" in parts[1:]
+    if "scp" in parts[1:]:
+        ark_path, _, scp_path = rest.partition(",")
+        if not scp_path:
+            raise ValueError(f"ark,scp wspecifier needs two paths: {wspecifier!r}")
+        return ArkWriter(ark_path, scp_path, text=text)
+    return ArkWriter(rest, text=text)
 
 
 # ---------------------------------------------------------------------------

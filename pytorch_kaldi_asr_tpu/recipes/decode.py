@@ -1,0 +1,45 @@
+"""Stage-5 decode entry point (reference local/decode.py main): load the
+combined checkpoint, beam-search the dataset, write n-best decode.txt."""
+
+import argparse
+
+from pytorch_kaldi_asr_tpu.data import read_vocab
+from pytorch_kaldi_asr_tpu.data.loader import make_batch_loader
+from pytorch_kaldi_asr_tpu.decode.runner import decode_dataset
+from pytorch_kaldi_asr_tpu.train import load_checkpoint
+from pytorch_kaldi_asr_tpu.utils.logging import info
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-read_data_dir", required=True)
+    parser.add_argument("-read_vocab_file", required=True)
+    parser.add_argument("-load_model_file", required=True)
+    parser.add_argument("-save_result_file", required=True)
+    parser.add_argument("-max_token_seq_len", type=int, required=True)
+    parser.add_argument("-batch_size", type=int, default=64)
+    parser.add_argument("-beam_size", type=int, default=20)
+    parser.add_argument("-nbest", type=int, default=10)
+    parser.add_argument("-use_gpu", action="store_true",
+                        help="accepted for recipe compatibility")
+    opt = parser.parse_args(argv)
+
+    if opt.nbest > opt.beam_size:
+        parser.error("nbest should not be larger than beam_size")
+
+    ckpt = load_checkpoint(opt.load_model_file)
+    info("loading model with parameter: %s", ckpt["cfg"])
+    vocab = read_vocab(opt.read_vocab_file)
+    loader = make_batch_loader(opt.read_data_dir, vocab, opt.batch_size,
+                               mode="all", shuffle=False)
+    decode_dataset(
+        ckpt["params"], ckpt["cfg"], loader, vocab,
+        beam_size=opt.beam_size, nbest=opt.nbest,
+        max_token_seq_len=opt.max_token_seq_len,
+        save_result_file=opt.save_result_file,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,76 @@
+"""Stage-4 entry point: train the acoustic model (reference local/train.py
+main, train.py:333-402): load model.init, build train/dev/test loaders, run
+the epoch driver, then combine the final checkpoints."""
+
+import argparse
+
+import jax
+
+from pytorch_kaldi_asr_tpu.data import read_vocab
+from pytorch_kaldi_asr_tpu.data.loader import make_batch_loader
+from pytorch_kaldi_asr_tpu.train import (
+    combine_checkpoints,
+    load_checkpoint,
+    train_model,
+)
+from pytorch_kaldi_asr_tpu.utils.logging import info, procedure
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-read_train_dir", required=True)
+    parser.add_argument("-read_dev_dir", required=True)
+    parser.add_argument("-read_test_dir", required=True)
+    parser.add_argument("-read_vocab_file", required=True)
+    parser.add_argument("-load_model_file", required=True)
+    parser.add_argument("-save_model_dir", required=True)
+    parser.add_argument("-seq_error_prob", type=float, default=0)  # parity knob
+    parser.add_argument("-epoch", type=int, default=50)
+    parser.add_argument("-optim_start_lr", type=float, default=0.001)
+    parser.add_argument("-optim_soft_coefficient", type=float, default=1000)
+    parser.add_argument("-batch_size", type=int, default=64)
+    parser.add_argument("-label_smoothing", action="store_true")
+    parser.add_argument("-save_interval", type=int, default=10)
+    parser.add_argument("-use_gpu", action="store_true",
+                        help="accepted for recipe compatibility; device "
+                             "choice is JAX's")
+    opt = parser.parse_args(argv)
+
+    procedure("prepare trainning.")
+    ckpt = load_checkpoint(opt.load_model_file)
+    params, cfg = ckpt["params"], ckpt["cfg"]
+    info("loading model with parameter:\n\t%s", cfg)
+
+    vocab = read_vocab(opt.read_vocab_file)
+
+    info("reading training data...")
+    train_loader = make_batch_loader(opt.read_train_dir, vocab,
+                                     opt.batch_size, mode="drop")
+    info("reading dev data...")
+    dev_loader = make_batch_loader(opt.read_dev_dir, vocab, opt.batch_size,
+                                   mode="all")
+    info("reading test data...")
+    test_loader = make_batch_loader(opt.read_test_dir, vocab, opt.batch_size,
+                                    mode="all")
+    info("batch loader is initialized")
+
+    procedure("trainning start...")
+    _best, best_epoch, _accu = train_model(
+        params, cfg, train_loader, dev_loader, test_loader,
+        opt.save_model_dir,
+        epochs=opt.epoch,
+        start_lr=opt.optim_start_lr,
+        soft_coefficient=opt.optim_soft_coefficient,
+        save_interval=opt.save_interval,
+        smoothing=opt.label_smoothing,
+    )
+
+    procedure("combining start on best epoch %d" % best_epoch)
+    num_model = 30 if opt.epoch > 30 else opt.epoch
+    combine_checkpoints(opt.save_model_dir, best_epoch, cfg, dev_loader,
+                        num_model=num_model)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

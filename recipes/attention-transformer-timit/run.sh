@@ -1,0 +1,184 @@
+#!/bin/bash
+#------------------------------------------------------------
+# TIMIT attention-transformer recipe — TPU-native framework edition.
+# Same staged pipeline and knobs as the reference recipe
+# (project/attention-transformer-timit/run.sh): stages 0-5 =
+# prep -> vocab -> LM -> init -> train -> decode/rescore/score.
+# All native tools (feat-to-len, apply-cmvn, ngram, compute-wer,
+# best_wer) are the framework's own; no external Kaldi/SRILM needed.
+#------------------------------------------------------------
+. "$(dirname "$0")/path.sh"
+# launcher replaces queue.pl job submission; add --max-jobs to throttle
+export train_cmd="python3 -m pytorch_kaldi_asr_tpu.parallel.launch"
+export cuda_cmd="python3 -m pytorch_kaldi_asr_tpu.parallel.launch"
+set -e
+#------------------------------------------------------------
+stage=${stage:-0}
+model_suffix=${model_suffix:-_layer3head2_drop0.35}
+data_perfix=${data_perfix:-}
+speed_perturb=${speed_perturb:-}
+lang=data/language
+cmvn=${cmvn:-false}
+clean_dir=${clean_dir:-true}
+# scaled-down knobs for smoke runs (export before calling)
+epochs=${epochs:-500}
+batch_size=${batch_size:-100}
+beam_size=${beam_size:-25}
+nbest=${nbest:-10}
+decode_batch=${decode_batch:-8}
+max_token_seq_len=${max_token_seq_len:-100}
+en_layers=${en_layers:-3}
+de_layers=${de_layers:-3}
+en_d_model=${en_d_model:-256}
+de_d_model=${de_d_model:-128}
+encoder_max_len=${encoder_max_len:-500}
+decoder_max_len=${decoder_max_len:-100}
+lda_mat=${lda_mat:-data/lda.mat}
+
+if [ $stage -le 0 ]; then
+    echo '[PROCEDURE] preparing instances.'
+    max_len=$encoder_max_len
+    for dataset in train${speed_perturb}${data_perfix} dev${data_perfix} test${data_perfix}; do
+        python3 -m pytorch_kaldi_asr_tpu.tools.feat_to_len \
+            scp:data/$dataset/feats.scp ark,t:data/$dataset/feats.length
+        python3 -m pytorch_kaldi_asr_tpu.tools.trim_instance_length \
+            -data_dir data/$dataset -output_dir data/${dataset}_filtered -max_len $max_len
+
+        if $cmvn; then
+            fdir=data/${dataset}_filtered
+            if [ ! -f ${fdir}/cmvn.scp ]; then
+                # self-contained: compute per-speaker stats on demand (the
+                # upstream pipeline produced cmvn.scp during feat extraction)
+                python3 -m pytorch_kaldi_asr_tpu.tools.compute_cmvn_stats \
+                    --utt2spk=ark:${fdir}/utt2spk \
+                    scp:${fdir}/feats.scp ark,scp:${fdir}/cmvn.ark,${fdir}/cmvn.scp
+            fi
+            python3 -m pytorch_kaldi_asr_tpu.tools.cmvn \
+                --utt2spk=ark:${fdir}/utt2spk \
+                scp:${fdir}/cmvn.scp scp:${fdir}/feats.scp \
+                ark,scp:${fdir}/feats_cmvn.ark,${fdir}/feats_cmvn.scp
+            mv ${fdir}/feats_cmvn.scp ${fdir}/feats.scp
+        fi
+    done
+fi
+
+if [ $stage -le 1 ]; then
+    echo '[PROCEDURE] preparing vocabulary for output label'
+    mkdir -p ${lang}
+    python3 -m pytorch_kaldi_asr_tpu.recipes.prepare_vocab \
+        -read_instances_file data/train${speed_perturb}${data_perfix}/text \
+        -save_vocab_file ${lang}/vocab.txt
+    # disambig symbol for FST tooling parity
+    index=$(wc -l < ${lang}/vocab.txt)
+    echo "#0 ${index}" >> ${lang}/vocab.txt
+fi
+
+if [ $stage -le 2 ]; then
+    echo '[PROCEDURE] preparing language model (arpa).'
+    python3 -m pytorch_kaldi_asr_tpu.recipes.train_lm \
+        -text data/train${data_perfix}/text -order 3 -lm ${lang}/lm.3k.gz
+fi
+
+#------------------------------------------------------------
+time_tag=$(date "+%Y%m%d-%H%M%S")
+model_dir=${model_dir:-exp/model_${time_tag}${model_suffix}}
+if [ $stage -le 3 ]; then
+    echo '[PROCEDURE] reading dimension from data file and initialize the model'
+    mkdir -p $model_dir
+    python3 -m pytorch_kaldi_asr_tpu.recipes.initialize_model \
+        -read_feats_scp_file data/train${speed_perturb}${data_perfix}_filtered/feats.scp \
+        -read_vocab_file ${lang}/vocab.txt \
+        -save_model_file ${model_dir}/model.init \
+        -lda_mat_file ${lda_mat} \
+        \
+        -encoder_max_len $encoder_max_len \
+        -decoder_max_len $decoder_max_len \
+        -src_fold 1 \
+        -encoder_sub_sequence '(-100,0)' \
+        -decoder_sub_sequence '(-10,0)' \
+        \
+        -en_layers $en_layers \
+        -de_layers $de_layers \
+        -n_head 2 \
+        -en_d_model $en_d_model \
+        -de_d_model $de_d_model \
+        -d_k 64 \
+        -d_v 64 \
+        -en_dropout 0.35 \
+        -de_dropout 0.35
+fi
+
+if [ $stage -le 4 ]; then
+    echo '[PROCEDURE] trainning start... log is in train.log'
+    $cuda_cmd ${model_dir}/train.log python3 -u -m pytorch_kaldi_asr_tpu.recipes.train \
+        -read_train_dir data/train${speed_perturb}${data_perfix}_filtered \
+        -read_dev_dir data/dev${data_perfix}_filtered \
+        -read_test_dir data/test${data_perfix}_filtered \
+        -read_vocab_file ${lang}/vocab.txt \
+        -load_model_file ${model_dir}/model.init \
+        \
+        -seq_error_prob 0 \
+        -optim_start_lr 0.001 \
+        -optim_soft_coefficient 25000 \
+        -epoch $epochs \
+        -batch_size $batch_size \
+        -save_model_dir $model_dir \
+        -save_interval 1 || exit 1
+    echo '[INFO] trainning finish.'
+    if $clean_dir; then
+        rm -rf ${model_dir}/epoch.*
+        echo '[INFO] trainning dir cleaned'
+    fi
+fi
+
+#------------------------------------------------------------
+if [ $stage -le 5 ]; then
+    model_file=$(ls -d ${model_dir}/combined* | head -1)
+    if [ ! -d "${model_file}" ]; then
+        echo "${model_file} is not a checkpoint dir."
+        exit 1
+    fi
+
+    for dir in dev test; do
+        echo "[PROCEDURE] decoding ${dir} set... model file is ${model_file}"
+        decode_dir=${model_dir}/decode_${dir}
+        mkdir -p ${decode_dir}
+        data_dir=data/${dir}${data_perfix}_filtered
+        $cuda_cmd ${decode_dir}/decode.log python3 -u -m pytorch_kaldi_asr_tpu.recipes.decode \
+            -read_data_dir ${data_dir} \
+            -read_vocab_file ${lang}/vocab.txt \
+            -load_model_file ${model_file} \
+            -max_token_seq_len $max_token_seq_len \
+            -batch_size $decode_batch \
+            -beam_size $beam_size \
+            -nbest $nbest \
+            -save_result_file ${decode_dir}/decode.txt || exit 1
+
+        echo '[PROCEDURE] rescoring...'
+        python3 -m pytorch_kaldi_asr_tpu.recipes.score_lm \
+            -decode_file ${decode_dir}/decode.txt \
+            -lm ${lang}/lm.3k.gz \
+            -save_score_file ${decode_dir}/lm.3k.score.txt
+        echo '[INFO] language model score computed.'
+
+        mkdir -p ${decode_dir}/scoring
+        python3 -m pytorch_kaldi_asr_tpu.recipes.rescore \
+            -decode_file ${decode_dir}/decode.txt \
+            -lm_score ${decode_dir}/lm.3k.score.txt \
+            -inv_weight_list 10,11,12,13,13.5,14,14.5,15,15.5,16,16.5,17,18,19,20,1000 \
+            -save_dir ${decode_dir}/scoring > ${decode_dir}/scoring/scoring.log
+        echo '[INFO] computing WER...'
+        for rescore_file in $(ls ${decode_dir}/scoring | grep rescore | grep -v wer); do
+            python3 -m pytorch_kaldi_asr_tpu.tools.compute_wer --mode=present \
+                ark:${data_dir}/text ark:${decode_dir}/scoring/${rescore_file} \
+                > ${decode_dir}/scoring/${rescore_file}_wer
+        done
+    done
+
+    for dir in dev test; do
+        decode_dir=${model_dir}/decode_${dir}
+        echo '[INFO] best wer presented in file:' > $decode_dir/result.txt
+        python3 -m pytorch_kaldi_asr_tpu.tools.best_wer "${decode_dir}/scoring/*_wer" >> $decode_dir/result.txt
+        cat $decode_dir/result.txt
+    done
+fi

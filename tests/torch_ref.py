@@ -15,6 +15,8 @@ import torch.nn.functional as F
 
 
 def _t(x):
+    if isinstance(x, torch.Tensor):
+        return x
     return torch.from_numpy(np.asarray(x)).float()
 
 
