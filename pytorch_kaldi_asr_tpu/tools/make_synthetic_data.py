@@ -35,8 +35,11 @@ def make_dataset(data_dir, n_utts, *, feat_dim=40, seed=0,
         os.path.join(data_dir, "feats.ark"),
         os.path.join(data_dir, "feats.scp"),
     ) as w:
+        per_spk = -(-n_utts // n_speakers)
         for i in range(n_utts):
-            spk = f"spk{i % n_speakers}"
+            # block speaker assignment keeps keys lexicographically sorted,
+            # the Kaldi data-dir invariant validate_data_dir enforces
+            spk = f"spk{i // per_spk}"
             key = f"{spk}_utt{i:04d}"
             n_words = int(rng.integers(2, 7))
             sent = list(rng.choice(words, size=n_words))

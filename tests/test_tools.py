@@ -1,0 +1,176 @@
+"""Tests for data-dir utilities, archives, CMVN, speed perturb, and the
+launcher."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from pytorch_kaldi_asr_tpu.data.archive import (
+    ArchiveBatchLoader,
+    generate_archives,
+)
+from pytorch_kaldi_asr_tpu.io import kaldi_io
+from pytorch_kaldi_asr_tpu.tools import data_dir as dd
+from pytorch_kaldi_asr_tpu.tools.cmvn import (
+    accumulate_cmvn_stats,
+    apply_cmvn_matrix,
+)
+from pytorch_kaldi_asr_tpu.tools.perturb_speed import (
+    perturb_data_dir_speed,
+    resample_time,
+)
+
+
+def _make_dir(path, keys, spk_of=None):
+    os.makedirs(path, exist_ok=True)
+    dd.write_table(os.path.join(path, "feats.scp"),
+                   {k: f"/x/{k}.ark:0" for k in keys})
+    dd.write_table(os.path.join(path, "text"),
+                   {k: f"hello {k}" for k in keys})
+    u2s = {k: (spk_of(k) if spk_of else "spk1") for k in keys}
+    dd.write_table(os.path.join(path, "utt2spk"), u2s)
+    dd.write_table(os.path.join(path, "spk2utt"),
+                   dd.utt2spk_to_spk2utt(u2s))
+
+
+def test_validate_and_fix(tmp_path):
+    d = str(tmp_path / "data")
+    _make_dir(d, ["u1", "u2", "u3"])
+    assert dd.validate_data_dir(d) == []
+    # break it: remove u2 from text only
+    text = dd.read_table(os.path.join(d, "text"))
+    del text["u2"]
+    dd.write_table(os.path.join(d, "text"), text)
+    problems = dd.validate_data_dir(d)
+    assert any("text" in p for p in problems)
+    assert dd.fix_data_dir(d) == 2
+    assert dd.validate_data_dir(d) == []
+
+
+def test_subset_split_combine(tmp_path):
+    d = str(tmp_path / "data")
+    _make_dir(d, [f"u{i:02d}" for i in range(10)],
+              spk_of=lambda k: f"s{int(k[1:]) % 2}")
+    sub = dd.subset_data_dir(d, str(tmp_path / "sub"), n=4, first=True)
+    assert len(dd.read_table(os.path.join(sub, "feats.scp"))) == 4
+
+    splits = dd.split_data_dir(d, 3)
+    sizes = [len(dd.read_table(os.path.join(s, "feats.scp")))
+             for s in splits]
+    assert sum(sizes) == 10 and max(sizes) - min(sizes) <= 1
+
+    out = dd.combine_data_dirs(splits, str(tmp_path / "comb"))
+    assert len(dd.read_table(os.path.join(out, "feats.scp"))) == 10
+    assert dd.validate_data_dir(out) == []
+
+
+def test_tr_cv_split_is_speaker_disjoint(tmp_path):
+    d = str(tmp_path / "data")
+    _make_dir(d, [f"u{i:02d}" for i in range(20)],
+              spk_of=lambda k: f"s{int(k[1:]) % 5}")
+    tr, cv = dd.subset_data_dir_tr_cv(d, str(tmp_path / "tr"),
+                                      str(tmp_path / "cv"),
+                                      cv_spk_fraction=0.2)
+    tr_spk = set(dd.read_table(os.path.join(tr, "utt2spk")).values())
+    cv_spk = set(dd.read_table(os.path.join(cv, "utt2spk")).values())
+    assert tr_spk and cv_spk and not (tr_spk & cv_spk)
+
+
+def test_filter_apply_map_sym2int():
+    table = {"u1": "a b c", "u2": "b d"}
+    assert dd.filter_scp(["u2"], table) == {"u2": "b d"}
+    mapping = {"a": 1, "b": 2, "c": 3, "d": 4}
+    out = dd.apply_map(table, mapping)
+    assert out == {"u1": "1 2 3", "u2": "2 4"}
+    with pytest.raises(KeyError):
+        dd.apply_map({"u": "zz"}, mapping)
+    assert dd.apply_map({"u": "zz a"}, mapping, permissive=True) == {
+        "u": "zz 1"
+    }
+
+
+def test_archives_roundtrip_and_loader(tmp_path):
+    rng = np.random.default_rng(0)
+    triples = [
+        (f"u{i:02d}", rng.normal(size=(int(rng.integers(4, 10)), 5)
+                                 ).astype(np.float32),
+         np.array([2] + [4] * int(rng.integers(1, 4)) + [3]))
+        for i in range(11)
+    ]
+    manifest = generate_archives(triples, str(tmp_path), size_archive=4)
+    assert len(manifest["archives"]) == 3
+
+    loader = ArchiveBatchLoader(str(tmp_path), batch_size=3, mode="all",
+                                shuffle=False)
+    batches = list(loader)
+    total_valid = sum(int(b.valid.sum()) for b in batches)
+    assert total_valid == 11
+    shapes = {b.src.shape for b in batches}
+    assert len(shapes) == 1  # static shapes across archives
+    # all keys come through exactly once among valid rows
+    keys = [k for b in batches for k, v in zip(b.keys, b.valid) if v]
+    assert sorted(keys) == sorted(t[0] for t in triples)
+
+    drop_loader = ArchiveBatchLoader(str(tmp_path), batch_size=3,
+                                     mode="drop", shuffle=False)
+    assert sum(1 for _ in drop_loader) == 3  # 11 // 3
+
+
+def test_cmvn_normalizes_per_speaker():
+    rng = np.random.default_rng(1)
+    feats = {
+        "u1": rng.normal(5.0, 2.0, size=(50, 4)).astype(np.float32),
+        "u2": rng.normal(5.0, 2.0, size=(60, 4)).astype(np.float32),
+    }
+    stats = accumulate_cmvn_stats(feats.items(), {"u1": "s", "u2": "s"})
+    normed = np.concatenate([
+        apply_cmvn_matrix(feats["u1"], stats["s"], norm_vars=True),
+        apply_cmvn_matrix(feats["u2"], stats["s"], norm_vars=True),
+    ])
+    np.testing.assert_allclose(normed.mean(0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(normed.std(0), 1.0, atol=1e-2)
+
+
+def test_speed_perturb_feats(tmp_path):
+    src = tmp_path / "src"
+    os.makedirs(src)
+    mat = np.arange(40, dtype=np.float32).reshape(10, 4)
+    with kaldi_io.ArkWriter(str(src / "feats.ark"), str(src / "feats.scp")) as w:
+        w.write("u1", mat)
+    dd.write_table(str(src / "text"), {"u1": "hi"})
+    dd.write_table(str(src / "utt2spk"), {"u1": "s"})
+    dst = perturb_data_dir_speed(str(src), str(tmp_path / "sp"), 0.9)
+    out = dict(kaldi_io.read_mat_scp(os.path.join(dst, "feats.scp")))
+    assert "sp0.9-u1" in out
+    assert out["sp0.9-u1"].shape[0] == round(10 / 0.9)
+    # resample preserves endpoints
+    np.testing.assert_allclose(out["sp0.9-u1"][0], mat[0])
+    np.testing.assert_allclose(out["sp0.9-u1"][-1], mat[-1])
+
+
+def test_launcher_array_jobs(tmp_path):
+    log = tmp_path / "log.JOB.txt"
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytorch_kaldi_asr_tpu.parallel.launch",
+         "JOB=1:3", str(log), "bash", "-c", "echo out-JOB"],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0
+    for j in (1, 2, 3):
+        content = (tmp_path / f"log.{j}.txt").read_text()
+        assert f"out-{j}" in content
+        assert "# Ended (code 0)" in content
+
+
+def test_launcher_propagates_failure(tmp_path):
+    log = tmp_path / "fail.JOB.txt"
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytorch_kaldi_asr_tpu.parallel.launch",
+         "JOB=1:2", str(log), "bash", "-c", "exit JOB"],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 1
+    assert "2 / 2 failed" in proc.stderr
