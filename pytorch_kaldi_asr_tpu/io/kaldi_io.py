@@ -241,12 +241,33 @@ def _read_vector_binary(f):
 # ---------------------------------------------------------------------------
 
 
+def _native():
+    """The C++ core (pytorch_kaldi_asr_tpu.native), or None if not built."""
+    try:
+        from pytorch_kaldi_asr_tpu import native
+
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
+def _is_plain_file(rxfilename):
+    return rxfilename != "-" and not rxfilename.endswith("|")
+
+
 def read_mat(rxfilename):
     """Read a single matrix from an extended filename.
 
     Equivalent of ``kaldi_io.read_mat`` as used at reference
     BatchLoader.py:47 and initialize_model.py:69 (``lda.mat``).
+    Binary reads of plain files go through the C++ core when built.
     """
+    native = _native()
+    if native is not None and _is_plain_file(rxfilename):
+        try:
+            return native.read_mat(rxfilename)
+        except IOError:
+            pass  # text-mode or exotic object: fall through to Python
     f = open_rx(rxfilename)
     try:
         is_binary, peeked = _expect_binary(f)
@@ -276,6 +297,12 @@ def mat_num_rows(rxfilename):
 
     This is the per-utterance work of Kaldi's ``feat-to-len`` C++ binary
     (reference run.sh:33)."""
+    native = _native()
+    if native is not None and _is_plain_file(rxfilename):
+        try:
+            return native.mat_shape(rxfilename)[0]
+        except IOError:
+            pass
     f = open_rx(rxfilename)
     try:
         is_binary, peeked = _expect_binary(f)

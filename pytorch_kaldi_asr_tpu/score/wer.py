@@ -20,8 +20,20 @@ import numpy as np
 def levenshtein_alignment(ref, hyp):
     """Edit distance with unit costs; returns (errors, ins, dels, subs).
 
-    Vectorized DP over the hyp axis (numpy row sweeps) — O(len(ref)) python
-    iterations instead of O(len(ref)·len(hyp))."""
+    Dispatches to the C++ core when built; the numpy DP below is the
+    always-available reference implementation."""
+    try:
+        from pytorch_kaldi_asr_tpu import native
+
+        if native.available():
+            ids = {}
+            def to_ids(words):
+                return np.array(
+                    [ids.setdefault(w, len(ids)) for w in words], np.int32
+                )
+            return native.edit_distance(to_ids(ref), to_ids(hyp))
+    except Exception:
+        pass
     r, h = len(ref), len(hyp)
     if r == 0:
         return h, h, 0, 0
