@@ -51,8 +51,14 @@ def _flagship_setup():
     return cfg, params, (src, src_mask, tgt, tgt_mask)
 
 
-def measure_jax(steps=20, warmup=3):
+def measure_jax(steps=30, warmup=3):
+    # NOTE on methodology: the axon TPU backend is a network tunnel where
+    # block_until_ready does not actually block; synchronization must be a
+    # host transfer.  Steps are data-dependent (the train state threads
+    # through), so pulling the final loss bounds the whole chain; one tunnel
+    # round-trip (~30 ms) is measured separately and subtracted.
     import jax
+    import jax.numpy as jnp
 
     from pytorch_kaldi_asr_tpu.train import create_train_state, make_train_step
 
@@ -65,13 +71,18 @@ def measure_jax(steps=20, warmup=3):
 
     for _ in range(warmup):
         state, m = train_step(state, src, src_mask, tgt, tgt_mask)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # sync
+
+    t0 = time.perf_counter()
+    zero = jnp.zeros((), jnp.float32)
+    rtt = float(zero)  # noqa: F841 — one round-trip baseline
+    t_rtt = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, m = train_step(state, src, src_mask, tgt, tgt_mask)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+    float(m["loss"])  # sync the dependent chain
+    dt = max(time.perf_counter() - t0 - t_rtt, 1e-9)
     frames_per_step = BATCH * SRC_LEN
     return frames_per_step * steps / dt
 

