@@ -1,0 +1,357 @@
+"""Encoder zoo beyond the flagship TDNN/LDA frontend.
+
+Families (BASELINE.json configs; each plugs into the same decoder through
+the ``(enc_output [B,S,D], src_mask [B,S])`` interface):
+
+- ``banded``    self-attention encoder with a banded window — the reference's
+  dead ``Encoder`` class (Models.py:67-124, commented out of the model at
+  Models.py:242-246) made alive: src projection, dual sinusoid position
+  tables (one added before the layer stack, one after), post-LN MHA + FFN
+  layers, band (start, end) from ``encoder_sub_sequence``.  Inference-time
+  attention can run through the Pallas banded kernel.
+- ``blstm``     bidirectional LSTM with masked recurrence over padded
+  frames (lax.scan; pads at the tail are carried through, so valid outputs
+  are pad-invariant).
+- ``conformer`` macaron FFN + MHSA + depthwise-conv blocks (conv module uses
+  layer norm rather than batch norm — deliberate TPU-friendly deviation,
+  noted here).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_kaldi_asr_tpu.models.common import (
+    banded_attn_mask,
+    dropout,
+    layer_norm,
+    padding_attn_mask,
+    position_encoding_table,
+    xavier_normal,
+)
+from pytorch_kaldi_asr_tpu.models.transformer import (
+    _Rngs,
+    _init_ffn,
+    _init_mha,
+    feed_forward,
+    multi_head_attention,
+)
+
+
+# ---------------------------------------------------------------------------
+# banded self-attention encoder (the reference's Encoder, alive)
+# ---------------------------------------------------------------------------
+
+
+def init_banded_encoder(rng, cfg):
+    keys = iter(jax.random.split(rng, 1 + 2 * cfg.en_layers))
+    params = {
+        "src_proj": {
+            "w": xavier_normal(next(keys), (cfg.src_dim * cfg.src_fold,
+                                            cfg.en_d_model),
+                               cfg.src_dim * cfg.src_fold, cfg.en_d_model)
+        },
+        "layers": [
+            {
+                "slf": _init_mha(next(keys), cfg.en_d_model, cfg.n_head,
+                                 cfg.d_k, cfg.d_v),
+                "ffn": _init_ffn(next(keys), cfg.en_d_model, cfg.en_d_model),
+            }
+            for _ in range(cfg.en_layers)
+        ],
+    }
+    return params
+
+
+def banded_encode(params, cfg, src_seq, src_mask, *, train=False, rng=None):
+    rngs = _Rngs(rng)
+    s = src_seq.shape[1]
+    pos = position_encoding_table(cfg.encoder_max_len, cfg.en_d_model)[:s]
+
+    x = src_seq.astype(cfg.compute_dtype) @ params["src_proj"]["w"].astype(
+        cfg.compute_dtype
+    )
+    x = x.astype(jnp.float32) + pos[None]
+    x = dropout(x, cfg.en_dropout, rngs.next(), train)
+
+    start, end = cfg.encoder_sub_sequence
+    blocked = padding_attn_mask(src_mask, src_mask) | banded_attn_mask(
+        s, start, end
+    )[None]
+    for layer in params["layers"]:
+        x = multi_head_attention(
+            layer["slf"], x, x, x, blocked, cfg, cfg.en_dropout, rngs, train
+        )
+        x = feed_forward(layer["ffn"], x, cfg, cfg.en_dropout, rngs, train)
+
+    x = x + pos[None]  # trans_pos_enc applied post-stack (Models.py:119)
+    x = dropout(x, cfg.en_dropout, rngs.next(), train)
+    return x, src_mask
+
+
+# ---------------------------------------------------------------------------
+# BLSTM encoder
+# ---------------------------------------------------------------------------
+
+
+def _init_lstm(rng, d_in, d_hidden):
+    k1, k2 = jax.random.split(rng)
+    return {
+        "wx": xavier_normal(k1, (d_in, 4 * d_hidden), d_in, 4 * d_hidden),
+        "wh": xavier_normal(k2, (d_hidden, 4 * d_hidden), d_hidden,
+                            4 * d_hidden),
+        "b": jnp.zeros((4 * d_hidden,)),
+    }
+
+
+def init_blstm_encoder(rng, cfg):
+    d_hidden = cfg.en_d_model // 2  # concat of both directions = en_d_model
+    keys = iter(jax.random.split(rng, 2 * cfg.en_layers + 1))
+    layers = []
+    d_in = cfg.src_dim * cfg.src_fold
+    for _ in range(cfg.en_layers):
+        layers.append(
+            {
+                "fwd": _init_lstm(next(keys), d_in, d_hidden),
+                "bwd": _init_lstm(next(keys), d_in, d_hidden),
+            }
+        )
+        d_in = cfg.en_d_model
+    return {"layers": layers}
+
+
+def _lstm_scan(p, x, mask, reverse=False):
+    """Masked LSTM over [B, S, D]; state freezes on padded frames."""
+    b, s, _ = x.shape
+    d_hidden = p["wh"].shape[0]
+    xs = jnp.swapaxes(x, 0, 1)  # [S, B, D]
+    ms = jnp.swapaxes(mask, 0, 1).astype(jnp.float32)[..., None]
+    if reverse:
+        xs, ms = xs[::-1], ms[::-1]
+
+    gates_x = xs @ p["wx"] + p["b"]  # hoist the input projection out of scan
+
+    def step(carry, inp):
+        h, c = carry
+        gx, m = inp
+        z = gx + h @ p["wh"]
+        i, f, g, o = jnp.split(z, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        h = m * h_new + (1 - m) * h
+        c = m * c_new + (1 - m) * c
+        return (h, c), h
+
+    init = (jnp.zeros((b, d_hidden)), jnp.zeros((b, d_hidden)))
+    _, hs = jax.lax.scan(step, init, (gates_x, ms))
+    if reverse:
+        hs = hs[::-1]
+    return jnp.swapaxes(hs, 0, 1)  # [B, S, H]
+
+
+def blstm_encode(params, cfg, src_seq, src_mask, *, train=False, rng=None):
+    rngs = _Rngs(rng)
+    x = src_seq.astype(jnp.float32)
+    for layer in params["layers"]:
+        fwd = _lstm_scan(layer["fwd"], x, src_mask)
+        bwd = _lstm_scan(layer["bwd"], x, src_mask, reverse=True)
+        x = jnp.concatenate([fwd, bwd], axis=-1)
+        x = dropout(x, cfg.en_dropout, rngs.next(), train)
+    return x, src_mask
+
+
+# ---------------------------------------------------------------------------
+# Conformer encoder
+# ---------------------------------------------------------------------------
+
+
+def _init_conv_module(rng, d, kernel):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "ln": {"gamma": jnp.ones((d,)), "beta": jnp.zeros((d,))},
+        "pw1": {"w": xavier_normal(k1, (d, 2 * d), d, 2 * d),
+                "b": jnp.zeros((2 * d,))},
+        "dw": {"w": xavier_normal(k2, (kernel, d), kernel, d),
+               "b": jnp.zeros((d,))},
+        "norm": {"gamma": jnp.ones((d,)), "beta": jnp.zeros((d,))},
+        "pw2": {"w": xavier_normal(k3, (d, d), d, d), "b": jnp.zeros((d,))},
+    }
+
+
+def init_conformer_encoder(rng, cfg):
+    keys = iter(jax.random.split(rng, 1 + 4 * cfg.en_layers))
+    d = cfg.en_d_model
+    params = {
+        "src_proj": {
+            "w": xavier_normal(next(keys), (cfg.src_dim * cfg.src_fold, d),
+                               cfg.src_dim * cfg.src_fold, d)
+        },
+        "layers": [],
+    }
+    for _ in range(cfg.en_layers):
+        params["layers"].append(
+            {
+                "ffn1": _init_ffn(next(keys), d, 4 * d),
+                "mhsa": _init_mha(next(keys), d, cfg.n_head, cfg.d_k,
+                                  cfg.d_v),
+                "conv": _init_conv_module(next(keys), d,
+                                          cfg.conformer_kernel),
+                "ffn2": _init_ffn(next(keys), d, 4 * d),
+            }
+        )
+    return params
+
+
+def _half_ffn(p, x, cfg, rate, rngs, train):
+    """Macaron half-step FFN: x + 0.5·FFN(LN(x)) (pre-LN, swish)."""
+    h = layer_norm(x, p["ln"]["gamma"], p["ln"]["beta"], skip_len1=False)
+    dtype = cfg.compute_dtype
+    h = jax.nn.swish(h.astype(dtype) @ p["w1"]["w"].astype(dtype)
+                     + p["w1"]["b"].astype(dtype))
+    h = dropout(h, rate, rngs.next(), train)
+    h = h @ p["w2"]["w"].astype(dtype) + p["w2"]["b"].astype(dtype)
+    h = dropout(h.astype(jnp.float32), rate, rngs.next(), train)
+    return x + 0.5 * h
+
+
+def _conv_module(p, x, mask, cfg, rate, rngs, train):
+    """Pointwise-GLU → causal-free depthwise conv → LN → swish → pointwise.
+    Padded frames are zeroed before the conv so outputs at valid frames are
+    pad-invariant."""
+    dtype = cfg.compute_dtype
+    h = layer_norm(x, p["ln"]["gamma"], p["ln"]["beta"], skip_len1=False)
+    h = h * mask[..., None].astype(h.dtype)
+    h = h.astype(dtype) @ p["pw1"]["w"].astype(dtype) + p["pw1"]["b"].astype(dtype)
+    a, b = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.sigmoid(b)  # GLU
+    h = h * mask[..., None].astype(h.dtype)
+    # depthwise conv along time, SAME padding
+    kernel = p["dw"]["w"].astype(dtype)  # [K, D]
+    k = kernel.shape[0]
+    pad = (k - 1) // 2
+    h_pad = jnp.pad(h, ((0, 0), (pad, k - 1 - pad), (0, 0)))
+    h = sum(
+        h_pad[:, i : i + h.shape[1], :] * kernel[i][None, None, :]
+        for i in range(k)
+    ) + p["dw"]["b"].astype(dtype)
+    h = h.astype(jnp.float32)
+    h = layer_norm(h, p["norm"]["gamma"], p["norm"]["beta"], skip_len1=False)
+    h = jax.nn.swish(h)
+    h = h.astype(dtype) @ p["pw2"]["w"].astype(dtype) + p["pw2"]["b"].astype(dtype)
+    h = dropout(h.astype(jnp.float32), rate, rngs.next(), train)
+    return x + h
+
+
+def conformer_encode(params, cfg, src_seq, src_mask, *, train=False,
+                     rng=None):
+    rngs = _Rngs(rng)
+    s = src_seq.shape[1]
+    pos = position_encoding_table(cfg.encoder_max_len, cfg.en_d_model)[:s]
+    dtype = cfg.compute_dtype
+
+    x = src_seq.astype(dtype) @ params["src_proj"]["w"].astype(dtype)
+    x = x.astype(jnp.float32) + pos[None]
+    x = dropout(x, cfg.en_dropout, rngs.next(), train)
+
+    start, end = cfg.encoder_sub_sequence
+    blocked = padding_attn_mask(src_mask, src_mask) | banded_attn_mask(
+        s, start, end
+    )[None]
+    for layer in params["layers"]:
+        x = _half_ffn(layer["ffn1"], x, cfg, cfg.en_dropout, rngs, train)
+        x = multi_head_attention(
+            layer["mhsa"], x, x, x, blocked, cfg, cfg.en_dropout, rngs, train
+        )
+        x = _conv_module(layer["conv"], x, src_mask, cfg, cfg.en_dropout,
+                         rngs, train)
+        x = _half_ffn(layer["ffn2"], x, cfg, cfg.en_dropout, rngs, train)
+    return x, src_mask
+
+
+# ---------------------------------------------------------------------------
+# TDNN-F encoder (factorized TDNN with semi-orthogonal bottlenecks)
+# ---------------------------------------------------------------------------
+
+
+def init_tdnnf_encoder(rng, cfg):
+    """Factorized TDNN: each layer = splice → linear to a bottleneck (kept
+    semi-orthogonal during training via :func:`semi_orthogonal_step`) →
+    linear back up → ReLU → scaled residual."""
+    from pytorch_kaldi_asr_tpu.models.common import xavier_normal as xn
+
+    d = cfg.en_d_model
+    bottleneck = cfg.tdnnf_bottleneck
+    keys = iter(jax.random.split(rng, 1 + 2 * len(cfg.tdnn_contexts)))
+    params = {
+        "src_proj": {
+            "w": xn(next(keys), (cfg.src_dim * cfg.src_fold, d),
+                    cfg.src_dim * cfg.src_fold, d)
+        },
+        "layers": [],
+    }
+    for ctx in cfg.tdnn_contexts:
+        params["layers"].append(
+            {
+                "factor": xn(next(keys), (d * len(ctx), bottleneck),
+                             d * len(ctx), bottleneck),
+                "up": {
+                    "w": xn(next(keys), (bottleneck, d), bottleneck, d),
+                    "b": jnp.zeros((d,)),
+                },
+            }
+        )
+    return params
+
+
+def tdnnf_encode(params, cfg, src_seq, src_mask, *, train=False, rng=None):
+    from pytorch_kaldi_asr_tpu.models.common import splice_frames
+
+    rngs = _Rngs(rng)
+    dtype = cfg.compute_dtype
+    x = src_seq.astype(dtype) @ params["src_proj"]["w"].astype(dtype)
+    x = x.astype(jnp.float32)
+    for ctx, layer in zip(cfg.tdnn_contexts, params["layers"]):
+        h = splice_frames(x, ctx).astype(dtype)
+        h = h @ layer["factor"].astype(dtype)
+        h = h @ layer["up"]["w"].astype(dtype) + layer["up"]["b"].astype(dtype)
+        h = jax.nn.relu(h.astype(jnp.float32))
+        h = dropout(h, cfg.en_dropout, rngs.next(), train)
+        x = 0.66 * x + h  # Kaldi-style scaled skip connection
+    return x, src_mask
+
+
+def semi_orthogonal_step(params, alpha=0.125):
+    """One step of Povey-style semi-orthogonality enforcement on every
+    TDNN-F factor matrix: M ← M − α·(M Mᵀ − s·I) M, applied periodically by
+    the training loop (mirrors Kaldi's constrain-orthonormal)."""
+
+    def fix(path, leaf):
+        keys = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        if "factor" not in keys:
+            return leaf
+        m = leaf
+        transpose = m.shape[0] < m.shape[1]
+        w = m.T if transpose else m  # rows >= cols: constrain w.T @ w ≈ s·I
+        p = w.T @ w
+        scale = jnp.trace(p @ p) / jnp.trace(p)
+        update = p - scale * jnp.eye(p.shape[0], dtype=p.dtype)
+        w = w - (alpha / scale) * (w @ update)
+        return w.T if transpose else w
+
+    return jax.tree_util.tree_map_with_path(fix, params)
+
+
+ENCODER_INITS = {
+    "banded": init_banded_encoder,
+    "blstm": init_blstm_encoder,
+    "conformer": init_conformer_encoder,
+    "tdnnf": init_tdnnf_encoder,
+}
+
+ENCODER_APPLYS = {
+    "banded": banded_encode,
+    "blstm": blstm_encode,
+    "conformer": conformer_encode,
+    "tdnnf": tdnnf_encode,
+}

@@ -83,6 +83,12 @@ class TransformerConfig:
     # when the sequence axis has length 1 — matters on the first decode step.
     ln_skip_len1: bool = True
     compute_dtype: Any = jnp.float32
+    # Encoder family: 'tdnn' (flagship LDA/TDNN frontend, EncoderTest),
+    # 'banded' (the reference's windowed-attention Encoder), 'blstm',
+    # 'conformer', 'tdnnf' (see models/encoders.py).
+    encoder_type: str = "tdnn"
+    conformer_kernel: int = 15
+    tdnnf_bottleneck: int = 64
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -145,6 +151,15 @@ def init_transformer(rng, cfg: TransformerConfig, lda_mat=None):
     (last column = bias; reference TDNN.py:51-52, initialize_model.py:69).
     If None, an identity frontend of matching width is used (useful for
     synthetic runs without a Kaldi LDA estimation)."""
+    if cfg.encoder_type != "tdnn":
+        from pytorch_kaldi_asr_tpu.models.encoders import ENCODER_INITS
+
+        enc_rng, dec_rng = jax.random.split(rng)
+        encoder = ENCODER_INITS[cfg.encoder_type](enc_rng, cfg)
+        dummy = init_transformer(dec_rng, cfg.replace(encoder_type="tdnn"),
+                                 lda_mat)
+        return {"encoder": encoder, "decoder": dummy["decoder"]}
+
     spliced_dim = cfg.src_dim * cfg.src_fold * len(cfg.lda_context)
     if lda_mat is None:
         lda_w = jnp.eye(spliced_dim, dtype=jnp.float32)
@@ -261,14 +276,25 @@ def feed_forward(p, x, cfg, rate, rngs, train):
 
 
 def encode(params, cfg: TransformerConfig, src_seq, src_mask, *, train=False,
-           rng=None):
+           rng=None, pos_offset=0):
     """EncoderTest equivalent (Models.py:127-166): splice → frozen LDA →
     projection → TDNN stack → +positions.  Expects UNfolded input; returns
-    (enc_output, folded src_mask)."""
+    (enc_output, folded src_mask).
+
+    ``pos_offset`` shifts the positional table index (used by chunked
+    streaming, where a buffer's frame 0 is mid-utterance); indices saturate
+    at the table end."""
+    src_seq, src_mask = fold_seq_and_mask(src_seq, src_mask, cfg.src_fold)
+    if cfg.encoder_type != "tdnn":
+        from pytorch_kaldi_asr_tpu.models.encoders import ENCODER_APPLYS
+
+        return ENCODER_APPLYS[cfg.encoder_type](
+            params["encoder"], cfg, src_seq, src_mask, train=train, rng=rng
+        )
+
     p = params["encoder"]
     rngs = _Rngs(rng)
     dtype = cfg.compute_dtype
-    src_seq, src_mask = fold_seq_and_mask(src_seq, src_mask, cfg.src_fold)
 
     x = splice_frames(src_seq, cfg.lda_context)
     x = x.astype(dtype) @ p["lda"]["w"].astype(dtype) + p["lda"]["b"].astype(dtype)
@@ -280,7 +306,9 @@ def encode(params, cfg: TransformerConfig, src_seq, src_mask, *, train=False,
         x = dropout(x, cfg.en_dropout, rngs.next(), train)
 
     pos_table = position_encoding_table(cfg.encoder_max_len, cfg.en_d_model)
-    x = x.astype(jnp.float32) + pos_table[: x.shape[1]][None, :, :]
+    pos_idx = jnp.clip(pos_offset + jnp.arange(x.shape[1]), 0,
+                       cfg.encoder_max_len - 1)
+    x = x.astype(jnp.float32) + pos_table[pos_idx][None, :, :]
     x = dropout(x, cfg.en_dropout, rngs.next(), train)
     return x, src_mask
 

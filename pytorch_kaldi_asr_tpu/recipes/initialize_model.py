@@ -56,6 +56,7 @@ def build_config(opt):
         d_v=opt.d_v,
         en_dropout=opt.en_dropout,
         de_dropout=opt.de_dropout,
+        encoder_type=opt.encoder_type,
         tdnn_contexts=tuple(
             tuple(c) for c in
             ([[-1, 0, 1], [-1, 0, 1], [-3, 0, 3], [-3, 0, 3], [-3, 0, 3],
@@ -83,6 +84,10 @@ def main(argv=None):
     parser.add_argument("-d_v", type=int, default=64)
     parser.add_argument("-en_dropout", type=float, default=0.2)
     parser.add_argument("-de_dropout", type=float, default=0.2)
+    parser.add_argument("-encoder_type", default="tdnn",
+                        choices=["tdnn", "banded", "blstm", "conformer",
+                                 "tdnnf"],
+                        help="encoder family (models/encoders.py)")
     parser.add_argument("-seed", type=int, default=0)
     parser.add_argument("-save_model_file", required=True)
     opt = parser.parse_args(argv)

@@ -88,7 +88,10 @@ def train_model(
     train_step = make_train_step(cfg, tx, smoothing=smoothing, mesh=mesh)
     eval_step = make_eval_step(cfg, mesh=mesh)
 
-    best_accu, best_epoch, best_params = 0.0, 0, params
+    # start below zero so the first epoch always becomes the initial best
+    # (with exactly-zero dev accuracy the reference's `>` comparison leaves
+    # best_epoch at 0 and the combine stage crashes on missing checkpoints)
+    best_accu, best_epoch, best_params = -1.0, 0, params
     train_start = time.time()
     for epoch in range(1, epochs + 1):
         info("trainning epoch %d.", epoch)

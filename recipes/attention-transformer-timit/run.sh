@@ -34,6 +34,7 @@ de_d_model=${de_d_model:-128}
 encoder_max_len=${encoder_max_len:-500}
 decoder_max_len=${decoder_max_len:-100}
 lda_mat=${lda_mat:-data/lda.mat}
+encoder_type=${encoder_type:-tdnn}   # tdnn|banded|blstm|conformer|tdnnf
 
 if [ $stage -le 0 ]; then
     echo '[PROCEDURE] preparing instances.'
@@ -105,7 +106,8 @@ if [ $stage -le 3 ]; then
         -d_k 64 \
         -d_v 64 \
         -en_dropout 0.35 \
-        -de_dropout 0.35
+        -de_dropout 0.35 \
+        -encoder_type $encoder_type
 fi
 
 if [ $stage -le 4 ]; then

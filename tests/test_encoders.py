@@ -1,0 +1,204 @@
+"""Tests for the encoder zoo (banded/blstm/conformer/tdnnf), streaming
+chunked inference exactness, and the frame-level AM head."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pytorch_kaldi_asr_tpu.models.transformer import (
+    encode,
+    init_transformer,
+    transformer_forward,
+)
+from pytorch_kaldi_asr_tpu.models.encoders import semi_orthogonal_step
+from pytorch_kaldi_asr_tpu.models.streaming import (
+    StreamingBandedEncoder,
+    StreamingTDNN,
+    receptive_field,
+)
+from pytorch_kaldi_asr_tpu.models import am
+from tests.test_models import small_cfg
+
+ENCODER_TYPES = ["banded", "blstm", "conformer", "tdnnf"]
+
+
+def _cfg(encoder_type, **kw):
+    return small_cfg(
+        encoder_type=encoder_type,
+        encoder_sub_sequence=(-8, 0),
+        conformer_kernel=7,
+        tdnnf_bottleneck=8,
+        **kw,
+    )
+
+
+def _batch(cfg, b=2, s=12, seed=0):
+    rng = np.random.default_rng(seed)
+    src = rng.normal(size=(b, s, cfg.src_dim)).astype(np.float32)
+    mask = np.ones((b, s), np.uint8)
+    mask[1, 9:] = 0
+    return jnp.asarray(src), jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("enc_type", ENCODER_TYPES)
+def test_encoder_forward_and_full_model(enc_type):
+    cfg = _cfg(enc_type)
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    src, mask = _batch(cfg)
+    out, out_mask = encode(params, cfg, src, mask)
+    assert out.shape == (2, 12, cfg.en_d_model)
+    assert np.isfinite(np.asarray(out)).all()
+    tgt = jnp.asarray(np.array([[2, 4, 3], [2, 5, 3]], np.int32))
+    tgt_mask = jnp.ones_like(tgt, dtype=jnp.uint8)
+    logits = transformer_forward(params, cfg, src, mask, tgt, tgt_mask)
+    assert logits.shape == (2, 3, cfg.vocab_size)
+
+
+@pytest.mark.parametrize("enc_type", ENCODER_TYPES)
+def test_encoder_gradients_flow(enc_type):
+    cfg = _cfg(enc_type)
+    params = init_transformer(jax.random.PRNGKey(1), cfg)
+    src, mask = _batch(cfg)
+
+    def loss(p):
+        out, _ = encode(p, cfg, src, mask)
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss)(params)
+    leaves = [
+        float(jnp.abs(g).max())
+        for g in jax.tree_util.tree_leaves(grads["encoder"])
+    ]
+    assert max(leaves) > 0
+
+
+@pytest.mark.parametrize("enc_type", ["blstm", "conformer"])
+def test_pad_invariance(enc_type):
+    """Garbage in padded frames must not change outputs at valid frames."""
+    cfg = _cfg(enc_type)
+    params = init_transformer(jax.random.PRNGKey(2), cfg)
+    src, mask = _batch(cfg)
+    out1, _ = encode(params, cfg, src, mask)
+    src2 = np.asarray(src).copy()
+    src2[1, 9:] = 1e3  # scribble on padding
+    out2, _ = encode(params, cfg, jnp.asarray(src2), mask)
+    np.testing.assert_allclose(
+        np.asarray(out1[1, :9]), np.asarray(out2[1, :9]), atol=1e-4
+    )
+
+
+def test_semi_orthogonal_step_reduces_deviation():
+    cfg = _cfg("tdnnf")
+    params = init_transformer(jax.random.PRNGKey(3), cfg)
+
+    def deviation(p):
+        total = 0.0
+        for layer in p["encoder"]["layers"]:
+            m = np.asarray(layer["factor"])
+            w = m.T if m.shape[0] < m.shape[1] else m
+            gram = w.T @ w
+            scale = np.trace(gram @ gram) / np.trace(gram)
+            total += float(
+                np.linalg.norm(gram - scale * np.eye(gram.shape[0]))
+            )
+        return total
+
+    before = deviation(params)
+    p = params
+    for _ in range(12):
+        p = semi_orthogonal_step(p)
+    after = deviation(p)
+    assert after < before * 0.5, (before, after)
+
+
+def test_streaming_tdnn_matches_offline():
+    cfg = small_cfg()  # flagship tdnn encoder
+    params = init_transformer(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(5)
+    src = rng.normal(size=(2, 30, cfg.src_dim)).astype(np.float32)
+    mask = jnp.ones((2, 30), jnp.uint8)
+    offline, _ = encode(params, cfg, jnp.asarray(src), mask)
+
+    stream = StreamingTDNN(params, cfg, encode)
+    outs = []
+    for start in range(0, 30, 7):
+        emit = stream.push(src[:, start : start + 7])
+        if emit is not None:
+            outs.append(emit)
+    tail = stream.flush()
+    if tail is not None:
+        outs.append(tail)
+    got = np.concatenate(outs, axis=1)
+    assert got.shape == offline.shape
+    np.testing.assert_allclose(got, np.asarray(offline), atol=1e-4)
+
+
+def test_streaming_banded_matches_offline():
+    cfg = _cfg("banded")
+    params = init_transformer(jax.random.PRNGKey(6), cfg)
+    rng = np.random.default_rng(7)
+    src = rng.normal(size=(2, 24, cfg.src_dim)).astype(np.float32)
+    mask = jnp.ones((2, 24), jnp.uint8)
+    offline, _ = encode(params, cfg, jnp.asarray(src), mask)
+
+    stream = StreamingBandedEncoder(params["encoder"], cfg)
+    outs = [stream.push(src[:, s : s + 6]) for s in range(0, 24, 6)]
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, np.asarray(offline), atol=1e-4)
+
+
+def test_receptive_field():
+    cfg = small_cfg()  # lda (-2..2), tdnn (-1,0,1) and (-3,0,3)
+    assert receptive_field(cfg) == (2 + 1 + 3, 2 + 1 + 3)
+
+
+def test_am_trains_and_writes_posteriors(tmp_path):
+    from pytorch_kaldi_asr_tpu.data.loader import BatchLoader
+    from pytorch_kaldi_asr_tpu.io import kaldi_io
+    import optax
+
+    cfg = _cfg("tdnnf", src_dim=8)
+    n_targets = 6
+    params = am.init_am(jax.random.PRNGKey(8), cfg, n_targets)
+    rng = np.random.default_rng(9)
+    src = rng.normal(size=(4, 16, 8)).astype(np.float32)
+    mask = np.ones((4, 16), np.uint8)
+    targets = rng.integers(0, n_targets, size=(4, 16)).astype(np.int32)
+
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            loss, _, n = am.frame_ce_loss(
+                p, cfg, jnp.asarray(src), jnp.asarray(mask),
+                jnp.asarray(targets),
+            )
+            return loss / n
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(40):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8
+
+    # posterior ark round trip
+    triples = [
+        (f"u{i}", src[i], np.array([2, 4, 3], np.int32)) for i in range(4)
+    ]
+    loader = BatchLoader(triples, batch_size=2, mode="all", shuffle=False)
+    out = tmp_path / "post"
+    n = am.write_posteriors(
+        params, cfg, loader, f"ark,scp:{out}.ark,{out}.scp"
+    )
+    assert n == 4
+    mats = dict(kaldi_io.read_mat_scp(f"{out}.scp"))
+    assert mats["u0"].shape == (16, n_targets)
+    # rows are log-probabilities
+    np.testing.assert_allclose(np.exp(mats["u0"]).sum(-1), 1.0, atol=1e-4)
