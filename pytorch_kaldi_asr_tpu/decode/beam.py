@@ -73,7 +73,7 @@ def _advance(state, word_lk, t, beam_size, vocab):
     new_finished = jnp.where(is_ext, now_eos, parent_finished)
     new_lengths = jnp.where(now_eos, t + 2, parent_lengths)
 
-    return tokens, top_scores, new_finished, new_lengths
+    return (tokens, top_scores, new_finished, new_lengths), parent
 
 
 @partial(jax.jit, static_argnames=("cfg", "beam_size", "max_len"))
@@ -104,8 +104,8 @@ def beam_search(params, cfg, src, src_mask, *, beam_size, max_len):
         params, cfg, tokens[:, :1], ones_mask[:, :1], srcm_rep, enc_rep
     )
     word_lk0 = jax.nn.log_softmax(logits0[:, 0, :], axis=-1)
-    state = _advance((tokens, scores, finished, lengths), word_lk0, 0,
-                     beam_size, vocab)
+    state, _ = _advance((tokens, scores, finished, lengths), word_lk0, 0,
+                        beam_size, vocab)
 
     def step(state, t):
         tokens = state[0]
@@ -118,7 +118,8 @@ def beam_search(params, cfg, src, src_mask, *, beam_size, max_len):
             axis=1,
         )[:, 0, :]
         word_lk = jax.nn.log_softmax(pos_logits, axis=-1)
-        return _advance(state, word_lk, t, beam_size, vocab), None
+        new_state, _ = _advance(state, word_lk, t, beam_size, vocab)
+        return new_state, None
 
     state, _ = jax.lax.scan(step, state, jnp.arange(1, max_len))
 

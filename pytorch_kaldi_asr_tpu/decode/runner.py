@@ -14,6 +14,16 @@ from pytorch_kaldi_asr_tpu.utils import constants
 from pytorch_kaldi_asr_tpu.utils.logging import info
 
 
+def _pick_search(cfg, use_cache):
+    """KV-cached search when the decoder band is causal (it is in the
+    recipe: (-10, 0)); the fixed-buffer search is the general fallback."""
+    if use_cache and cfg.decoder_sub_sequence[1] == 0:
+        from pytorch_kaldi_asr_tpu.decode.fast_beam import fast_beam_search
+
+        return fast_beam_search
+    return beam_search
+
+
 def nbest_from_result(result, nbest):
     """Extract per-utterance n-best (token_lists, scores) from a BeamResult.
     Lanes are already sorted by score."""
@@ -36,16 +46,17 @@ def ids_to_words(ids, idx2word):
 
 
 def decode_dataset(params, cfg, loader, word2idx, *, beam_size, nbest,
-                   max_token_seq_len, save_result_file):
+                   max_token_seq_len, save_result_file, use_cache=True):
     """Decode every batch of ``loader`` (mode='all') and write the n-best
     file.  Returns the number of lines written."""
     if nbest > beam_size:
         raise ValueError("nbest should not be larger than beam_size")
+    search = _pick_search(cfg, use_cache)
     idx2word = {index: word for word, index in word2idx.items()}
     lines = 0
     with open(save_result_file, "w", encoding="utf-8") as f:
         for batch in loader:
-            result = beam_search(
+            result = search(
                 params, cfg, batch.src, batch.src_mask,
                 beam_size=beam_size, max_len=max_token_seq_len,
             )
