@@ -3,6 +3,7 @@ main, train.py:333-402): load model.init, build train/dev/test loaders, run
 the epoch driver, then combine the final checkpoints."""
 
 import argparse
+import os
 
 import jax
 
@@ -31,6 +32,8 @@ def main(argv=None):
     parser.add_argument("-batch_size", type=int, default=64)
     parser.add_argument("-label_smoothing", action="store_true")
     parser.add_argument("-save_interval", type=int, default=10)
+    parser.add_argument("-resume", action="store_true",
+                        help="continue from the newest epoch.* checkpoint")
     parser.add_argument("-use_gpu", action="store_true",
                         help="accepted for recipe compatibility; device "
                              "choice is JAX's")
@@ -63,6 +66,8 @@ def main(argv=None):
         soft_coefficient=opt.optim_soft_coefficient,
         save_interval=opt.save_interval,
         smoothing=opt.label_smoothing,
+        resume=opt.resume,
+        metrics_path=os.path.join(opt.save_model_dir, "metrics.jsonl"),
     )
 
     procedure("combining start on best epoch %d" % best_epoch)

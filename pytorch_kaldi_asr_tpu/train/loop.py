@@ -15,7 +15,12 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+def jnp_int32(x):
+    return jnp.asarray(x, jnp.int32)
 
 from pytorch_kaldi_asr_tpu.train.checkpoint import (
     average_params,
@@ -62,6 +67,18 @@ def run_eval(params, eval_step, loader, max_batches=None):
     return total_loss / max(total_words, 1), total_correct / max(total_words, 1)
 
 
+def latest_epoch_checkpoint(save_model_dir):
+    """(path, epoch) of the newest epoch.N checkpoint dir, or (None, 0)."""
+    best = (None, 0)
+    if os.path.isdir(save_model_dir):
+        for name in os.listdir(save_model_dir):
+            if name.startswith("epoch.") and name[6:].isdigit():
+                e = int(name[6:])
+                if e > best[1]:
+                    best = (os.path.join(save_model_dir, name), e)
+    return best
+
+
 def train_model(
     params,
     cfg,
@@ -78,22 +95,50 @@ def train_model(
     seed=0,
     mesh=None,
     eval_train_batches=10,
+    resume=False,
+    save_opt_state=True,
+    metrics_path=None,
 ):
-    """Full training driver; returns (best_params, best_epoch, best_accu)."""
+    """Full training driver; returns (best_params, best_epoch, best_accu).
+
+    ``resume=True`` continues from the newest epoch.N checkpoint (params,
+    optimizer state, and step all restored — unlike the reference, where
+    resumption was manual and dropped optimizer state, train.py:341-342)."""
     os.makedirs(save_model_dir, exist_ok=True)
     state, tx = create_train_state(
         params, start_lr=start_lr, soft_coefficient=soft_coefficient,
         rng=jax.random.PRNGKey(seed),
     )
+    start_epoch = 1
+    if resume:
+        path, last_epoch = latest_epoch_checkpoint(save_model_dir)
+        if path is not None:
+            ckpt = load_checkpoint(path, template_opt_state=state.opt_state)
+            state = TrainState(
+                ckpt["params"],
+                ckpt["opt_state"] if ckpt["opt_state"] is not None
+                else state.opt_state,
+                jnp_int32(ckpt["step"]),
+                state.rng,
+            )
+            start_epoch = last_epoch + 1
+            info("resuming from %s (epoch %d, step %d)", path, last_epoch,
+                 ckpt["step"])
     train_step = make_train_step(cfg, tx, smoothing=smoothing, mesh=mesh)
     eval_step = make_eval_step(cfg, mesh=mesh)
+
+    metrics = None
+    if metrics_path:
+        from pytorch_kaldi_asr_tpu.utils.metrics import MetricsLogger
+
+        metrics = MetricsLogger(metrics_path)
 
     # start below zero so the first epoch always becomes the initial best
     # (with exactly-zero dev accuracy the reference's `>` comparison leaves
     # best_epoch at 0 and the combine stage crashes on missing checkpoints)
     best_accu, best_epoch, best_params = -1.0, 0, params
     train_start = time.time()
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         info("trainning epoch %d.", epoch)
         start = time.time()
         state, loss, accu = run_train_epoch(state, train_step, train_loader)
@@ -118,10 +163,17 @@ def train_model(
         _, test_accu = run_eval(state.params, eval_step, test_loader)
         info("-----(evaluating test set)----- accuracy: %3.2f %%", 100 * test_accu)
 
+        if metrics is not None:
+            metrics.log(
+                epoch=epoch, step=int(state.step), train_loss=loss,
+                train_accu=accu, dev_accu=dev_accu, test_accu=test_accu,
+            )
         if epoch % save_interval == 0 or epochs - epoch < save_interval:
             path = os.path.join(save_model_dir, f"epoch.{epoch}")
-            save_checkpoint(path, state.params, cfg, epoch=epoch,
-                            step=int(state.step))
+            save_checkpoint(
+                path, state.params, cfg, epoch=epoch, step=int(state.step),
+                opt_state=state.opt_state if save_opt_state else None,
+            )
             info("checkpoint of epoch %d is saved to %s", epoch, path)
 
     info(
@@ -135,6 +187,8 @@ def train_model(
     save_checkpoint(best_path, best_params, cfg, epoch=best_epoch,
                     extra={"dev_accu": best_accu})
     info("best model is saved to %s", best_path)
+    if metrics is not None:
+        metrics.close()
     return best_params, best_epoch, best_accu
 
 

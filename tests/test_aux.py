@@ -1,0 +1,136 @@
+"""Tests for FST construction, WER detail reports, metrics, and training
+resume."""
+
+import json
+import math
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from pytorch_kaldi_asr_tpu.lm import train_ngram_lm
+from pytorch_kaldi_asr_tpu.lm.fst import arpa_to_fst_text, make_lexicon_fst_text
+from pytorch_kaldi_asr_tpu.score.details import (
+    align,
+    format_per_utt_report,
+    ops_details,
+    per_spk_details,
+    per_utt_details,
+)
+from pytorch_kaldi_asr_tpu.utils.metrics import MetricsLogger, StageTimer
+from tests.test_score_lm import CORPUS
+
+
+def test_arpa_to_fst_text(tmp_path):
+    lm = train_ngram_lm(CORPUS, order=2)
+    vocab = {"<blank>": 0}
+    words = sorted({w for s in CORPUS for w in s})
+    for w in words:
+        vocab[w] = len(vocab)
+    vocab["#0"] = len(vocab)
+    path = arpa_to_fst_text(lm, vocab, str(tmp_path / "lm.fst.txt"))
+    lines = open(path).read().strip().split("\n")
+    arcs = [l.split("\t") for l in lines if len(l.split("\t")) == 5]
+    finals = [l.split("\t") for l in lines if len(l.split("\t")) == 2]
+    assert arcs and finals
+    # every word with an observed <s> context gets an arc out of state 0
+    start_arcs = [a for a in arcs if a[0] == "0"]
+    assert start_arcs
+    # weights are -ln(prob): all positive for probs < 1
+    assert all(float(a[4]) > 0 or abs(float(a[4])) < 1e-6 for a in arcs)
+    # backoff arcs use the #0 input symbol
+    backoffs = [a for a in arcs if a[2] == str(vocab["#0"])]
+    assert backoffs
+
+
+def test_lexicon_fst(tmp_path):
+    lexicon = {"cat": ["k", "ae", "t"], "at": ["ae", "t"]}
+    wsym = {"cat": 1, "at": 2}
+    psym = {"k": 1, "ae": 2, "t": 3, "sil": 4}
+    path = make_lexicon_fst_text(
+        lexicon, wsym, psym, str(tmp_path / "L.fst.txt"), sil_phone="sil"
+    )
+    lines = open(path).read().strip().split("\n")
+    arcs = [l.split("\t") for l in lines if len(l.split("\t")) == 5]
+    # word-initial arcs emit the word label
+    first_arcs = [a for a in arcs if a[3] == "1"]
+    assert len(first_arcs) == 1  # 'cat' once
+    # silence loop exists
+    sil_arcs = [a for a in arcs if a[2] == "4"]
+    assert sil_arcs
+
+
+def test_align_and_details():
+    ref = {"u1": "a b c d", "u2": "x y"}
+    hyp = {"u1": "a z c", "u2": "x y"}
+    details = per_utt_details(ref, hyp)
+    d = details["u1"]
+    assert (d["cor"], d["sub"], d["ins"], d["del"]) == (2, 1, 0, 1)
+    assert details["u2"]["cor"] == 2
+    spk = per_spk_details(details, {"u1": "s1", "u2": "s1"})
+    assert spk["s1"]["sub"] == 1 and spk["s1"]["utts"] == 2
+    ops = ops_details(details)
+    assert ("sub", "b", "z") in ops or ("sub", "d", "z") in ops or any(
+        k[0] == "sub" for k in ops
+    )
+    report = format_per_utt_report(details)
+    assert "#csid 2 1 0 1" in report
+
+
+def test_metrics_logger_and_timer(tmp_path):
+    path = tmp_path / "m.jsonl"
+    with MetricsLogger(str(path)) as m:
+        m.log(epoch=1, loss=2.5)
+        m.log(epoch=2, loss=1.5)
+    records = [json.loads(l) for l in path.read_text().splitlines()]
+    assert records[0]["epoch"] == 1 and "ts" in records[0]
+
+    timer = StageTimer()
+    with timer.stage("io"):
+        pass
+    with timer.stage("io"):
+        pass
+    s = timer.summary()
+    assert s["io"]["calls"] == 2
+
+
+def test_train_resume_continues_from_checkpoint(tmp_path):
+    from pytorch_kaldi_asr_tpu.data.loader import BatchLoader
+    from pytorch_kaldi_asr_tpu.models.transformer import init_transformer
+    from pytorch_kaldi_asr_tpu.train import train_model
+    from tests.test_models import small_cfg
+
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    triples = [
+        (f"u{i}", rng.normal(size=(8, cfg.src_dim)).astype(np.float32),
+         np.array([2, 4, 5, 3]))
+        for i in range(8)
+    ]
+    loader = BatchLoader(triples, batch_size=4, mode="drop")
+    eval_loader = BatchLoader(triples, batch_size=4, mode="all")
+    out = str(tmp_path / "exp")
+    train_model(params, cfg, loader, eval_loader, eval_loader, out,
+                epochs=2, save_interval=1, start_lr=0.01)
+    # resume to epoch 4: must pick up from epoch 2 (steps continue)
+    from pytorch_kaldi_asr_tpu.train.loop import latest_epoch_checkpoint
+
+    _, last = latest_epoch_checkpoint(out)
+    assert last == 2
+    train_model(params, cfg, loader, eval_loader, eval_loader, out,
+                epochs=4, save_interval=1, start_lr=0.01, resume=True,
+                metrics_path=str(tmp_path / "metrics.jsonl"))
+    _, last = latest_epoch_checkpoint(out)
+    assert last == 4
+    from pytorch_kaldi_asr_tpu.train import load_checkpoint
+
+    ck = load_checkpoint(os.path.join(out, "epoch.4"))
+    # 2 batches/epoch × 4 epochs = 8 optimizer steps carried through resume
+    assert ck["step"] == 8
+    records = [
+        json.loads(l)
+        for l in (tmp_path / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert [r["epoch"] for r in records] == [3, 4]
