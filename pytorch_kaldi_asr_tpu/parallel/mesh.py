@@ -65,11 +65,24 @@ def param_sharding_rules(path, leaf):
     return P()  # replicated
 
 
+def _effective_spec(mesh, spec, leaf):
+    """Replicate instead of sharding any dimension the mesh axis doesn't
+    divide (e.g. an odd vocab size over a 2-way model axis)."""
+    shape = getattr(leaf, "shape", ())
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    for i, axis in enumerate(spec):
+        if axis is None:
+            continue
+        if i >= len(shape) or shape[i] % axis_sizes[axis] != 0:
+            return P()
+    return spec
+
+
 def shard_params(params, mesh):
     """Place a parameter pytree onto the mesh per the rules above."""
 
     def place(path, leaf):
-        spec = param_sharding_rules(path, leaf)
+        spec = _effective_spec(mesh, param_sharding_rules(path, leaf), leaf)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
@@ -78,7 +91,10 @@ def shard_params(params, mesh):
 def param_shardings(params, mesh):
     """The NamedSharding pytree matching ``shard_params`` placement."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, param_sharding_rules(path, leaf)),
+        lambda path, leaf: NamedSharding(
+            mesh,
+            _effective_spec(mesh, param_sharding_rules(path, leaf), leaf),
+        ),
         params,
     )
 

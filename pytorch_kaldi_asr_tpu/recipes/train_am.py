@@ -1,0 +1,144 @@
+"""Hybrid AM training entry point: feats + frame alignments → posterior
+model (the BASELINE north-star flow: TIMIT AM trained ark-to-posterior so
+external WFST decoding consumes the outputs).
+
+Alignments are a ``key id id ...`` text table (the shape of Kaldi
+``ali-to-pdf | copy-int-vector ark,t:-`` output)."""
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from pytorch_kaldi_asr_tpu.data.loader import BatchLoader, build_triples
+from pytorch_kaldi_asr_tpu.io import kaldi_io
+from pytorch_kaldi_asr_tpu.models import am
+from pytorch_kaldi_asr_tpu.models.transformer import TransformerConfig
+from pytorch_kaldi_asr_tpu.models.encoders import semi_orthogonal_step
+from pytorch_kaldi_asr_tpu.train.checkpoint import (
+    save_checkpoint as _save_ckpt,
+)
+from pytorch_kaldi_asr_tpu.train.optim import hyperbolic_schedule
+from pytorch_kaldi_asr_tpu.utils.logging import info, procedure
+
+
+def am_batch_loader(data_dir, batch_size, mode="drop", **kw):
+    """Loader whose targets are per-frame alignment ids (padded with 0)."""
+    feats = dict(kaldi_io.scp_entries(os.path.join(data_dir, "feats.scp")))
+    ali = kaldi_io.read_key_value_text(os.path.join(data_dir, "ali.txt"))
+    triples = []
+    for key, rx in feats.items():
+        if key in ali:
+            ids = np.array([int(a) for a in ali[key].split()], np.int32)
+            triples.append((key, rx, ids))
+    info("matched %d utterances with alignments in %s", len(triples),
+         data_dir)
+    return BatchLoader(triples, batch_size, mode=mode, **kw)
+
+
+def train_am(data_dir, dev_dir, save_dir, *, encoder_type="tdnnf",
+             n_targets=None, epochs=10, batch_size=16, lr=0.001,
+             soft_coefficient=25000.0, en_d_model=256, en_layers=None,
+             seed=0, semi_orth_interval=4):
+    loader = am_batch_loader(data_dir, batch_size)
+    dev_loader = am_batch_loader(dev_dir, batch_size, mode="all")
+    if n_targets is None:
+        n_targets = 1 + max(
+            int(l.max()) for l in loader.labels
+        )
+    cfg = TransformerConfig(
+        src_dim=loader.feat_dim,
+        vocab_size=n_targets,  # unused by the AM head, kept coherent
+        encoder_type=encoder_type,
+        en_d_model=en_d_model,
+        encoder_max_len=loader.src_pad,
+        en_dropout=0.1,
+    )
+    params = am.init_am(jax.random.PRNGKey(seed), cfg, n_targets)
+
+    tx = optax.chain(
+        optax.scale_by_adam(),
+        optax.scale_by_schedule(hyperbolic_schedule(lr, soft_coefficient)),
+        optax.scale(-1.0),
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, src, src_mask, tgt, rng):
+        def loss_fn(p):
+            loss, n_correct, n = am.frame_ce_loss(
+                p, cfg, src, src_mask, tgt, train=True, rng=rng
+            )
+            return loss / n, (n_correct, n)
+
+        (loss, (n_correct, n)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, \
+            n_correct / n
+
+    @jax.jit
+    def eval_step(params, src, src_mask, tgt, valid):
+        loss, n_correct, n = am.frame_ce_loss(params, cfg, src, src_mask,
+                                              tgt)
+        return n_correct, n
+
+    rng = jax.random.PRNGKey(seed + 1)
+    step = 0
+    for epoch in range(1, epochs + 1):
+        accs = []
+        for batch in loader:
+            rng, sub = jax.random.split(rng)
+            tgt = jnp.asarray(batch.tgt)
+            params, opt_state, loss, acc = train_step(
+                params, opt_state, jnp.asarray(batch.src),
+                jnp.asarray(batch.src_mask), tgt, sub,
+            )
+            accs.append(float(acc))
+            step += 1
+            if encoder_type == "tdnnf" and step % semi_orth_interval == 0:
+                params = semi_orthogonal_step(params)
+        n_c = n_t = 0.0
+        for batch in dev_loader:
+            c, n = eval_step(params, jnp.asarray(batch.src),
+                             jnp.asarray(batch.src_mask),
+                             jnp.asarray(batch.tgt), batch.valid)
+            n_c += float(c)
+            n_t += float(n)
+        info("epoch %d: train frame-acc %.3f, dev frame-acc %.3f",
+             epoch, float(np.mean(accs)), n_c / max(n_t, 1))
+
+    _save_ckpt(save_dir, params, cfg, epoch=epochs,
+               extra={"n_targets": n_targets, "model_kind": "am"})
+    info("AM saved to %s", save_dir)
+    return params, cfg, n_c / max(n_t, 1)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-read_train_dir", required=True)
+    parser.add_argument("-read_dev_dir", required=True)
+    parser.add_argument("-save_model_dir", required=True)
+    parser.add_argument("-encoder_type", default="tdnnf")
+    parser.add_argument("-epoch", type=int, default=10)
+    parser.add_argument("-batch_size", type=int, default=16)
+    parser.add_argument("-en_d_model", type=int, default=256)
+    parser.add_argument("-optim_start_lr", type=float, default=0.001)
+    opt = parser.parse_args(argv)
+
+    procedure("hybrid AM training")
+    train_am(
+        opt.read_train_dir, opt.read_dev_dir, opt.save_model_dir,
+        encoder_type=opt.encoder_type, epochs=opt.epoch,
+        batch_size=opt.batch_size, lr=opt.optim_start_lr,
+        en_d_model=opt.en_d_model,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

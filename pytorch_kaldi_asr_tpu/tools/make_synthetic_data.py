@@ -22,15 +22,21 @@ WORDS = ["sil", "ah", "ae", "iy", "uw", "k", "t", "d", "s", "m", "n", "r"]
 
 
 def make_dataset(data_dir, n_utts, *, feat_dim=40, seed=0,
-                 frames_per_word=6, words=WORDS, n_speakers=3):
+                 frames_per_word=6, words=WORDS, n_speakers=3,
+                 word_means=None):
+    """``word_means`` (the word→prototype mapping) must be SHARED across the
+    train/dev/test splits of one corpus or the task is unlearnable."""
     rng = np.random.default_rng(seed)
     os.makedirs(data_dir, exist_ok=True)
-    word_means = {
-        w: rng.normal(scale=1.0, size=feat_dim).astype(np.float32)
-        for w in words
-    }
+    if word_means is None:
+        word_means = {
+            w: rng.normal(scale=1.0, size=feat_dim).astype(np.float32)
+            for w in words
+        }
     text_lines = {}
     utt2spk = {}
+    ali_lines = {}
+    word_ids = {w: i for i, w in enumerate(words)}
     with kaldi_io.ArkWriter(
         os.path.join(data_dir, "feats.ark"),
         os.path.join(data_dir, "feats.scp"),
@@ -44,17 +50,24 @@ def make_dataset(data_dir, n_utts, *, feat_dim=40, seed=0,
             n_words = int(rng.integers(2, 7))
             sent = list(rng.choice(words, size=n_words))
             frames = []
+            ali = []
             for word in sent:
                 n_frames = frames_per_word + int(rng.integers(-2, 3))
                 noise = rng.normal(scale=0.3,
                                    size=(n_frames, feat_dim))
                 frames.append(word_means[word] + noise)
+                ali.extend([word_ids[word]] * n_frames)
             feats = np.concatenate(frames).astype(np.float32)
             w.write(key, feats)
             text_lines[key] = " ".join(sent)
             utt2spk[key] = spk
+            ali_lines[key] = " ".join(str(a) for a in ali)
     kaldi_io.write_key_value_text(os.path.join(data_dir, "text"), text_lines)
     kaldi_io.write_key_value_text(os.path.join(data_dir, "utt2spk"), utt2spk)
+    # frame-level targets (the role of Kaldi ali-to-pdf output) for hybrid
+    # AM training
+    kaldi_io.write_key_value_text(os.path.join(data_dir, "ali.txt"),
+                                  ali_lines)
     return word_means
 
 
@@ -88,12 +101,14 @@ def main(argv=None):
     opt = parser.parse_args(argv)
 
     data = os.path.join(opt.out_dir, "data")
-    make_dataset(os.path.join(data, "train"), opt.n_train,
-                 feat_dim=opt.feat_dim, seed=opt.seed)
+    word_means = make_dataset(os.path.join(data, "train"), opt.n_train,
+                              feat_dim=opt.feat_dim, seed=opt.seed)
     make_dataset(os.path.join(data, "dev"), opt.n_dev,
-                 feat_dim=opt.feat_dim, seed=opt.seed + 1)
+                 feat_dim=opt.feat_dim, seed=opt.seed + 1,
+                 word_means=word_means)
     make_dataset(os.path.join(data, "test"), opt.n_test,
-                 feat_dim=opt.feat_dim, seed=opt.seed + 2)
+                 feat_dim=opt.feat_dim, seed=opt.seed + 2,
+                 word_means=word_means)
     make_lda_mat(os.path.join(data, "lda.mat"), feat_dim=opt.feat_dim,
                  seed=opt.seed)
     print(f"synthetic corpus written under {data}")

@@ -68,6 +68,18 @@ def save_checkpoint(path, params, cfg, *, epoch=0, step=0, opt_state=None,
     return path
 
 
+def read_checkpoint_config(path):
+    """Just the (cfg, meta) of a checkpoint — no parameter parsing (used
+    when the caller must build a non-default parameter template first,
+    e.g. AM checkpoints whose tree is encoder+head rather than
+    encoder+decoder)."""
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = _config_from_json(json.load(f))
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return cfg, meta
+
+
 def load_checkpoint(path, *, template_params=None, template_opt_state=None):
     """Load a checkpoint directory.
 
