@@ -28,8 +28,8 @@ def test_am_train_and_dump(tmp_path):
          "-read_train_dir", f"{tmp_path}/data/train",
          "-read_dev_dir", f"{tmp_path}/data/dev",
          "-save_model_dir", f"{tmp_path}/exp/am",
-         "-encoder_type", "tdnnf", "-epoch", "5", "-batch_size", "8",
-         "-en_d_model", "32"],
+         "-encoder_type", "tdnnf", "-epoch", "10", "-batch_size", "8",
+         "-en_d_model", "48", "-optim_start_lr", "0.003"],
         check=True, env=env, cwd=REPO,
     )
     subprocess.run(
