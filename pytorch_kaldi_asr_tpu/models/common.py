@@ -107,6 +107,43 @@ def splice_frames(x, context):
     return jnp.concatenate(pieces, axis=2)
 
 
+def spliced_linear(x, w, b, context, dtype=None):
+    """``splice_frames(x, context) @ w + b`` without materializing the
+    spliced tensor: evenly-spaced contexts (all the recipe's are) become a
+    dilated 1-D convolution, which XLA maps straight onto the MXU.
+
+    x: [B, T, D]; w: [D·K, D_out] with row blocks in context order;
+    context: K offsets.  Equivalent to the splice+matmul formulation
+    (zero padding at the edges) to float tolerance."""
+    context = list(context)
+    k = len(context)
+    if dtype is None:
+        dtype = x.dtype
+    x = x.astype(dtype)
+    w = w.astype(dtype)
+    steps = [context[i + 1] - context[i] for i in range(k - 1)]
+    if k > 1 and len(set(steps)) == 1 and steps[0] > 0:
+        dilation = steps[0]
+        d_in = x.shape[-1]
+        kernel = w.reshape(k, d_in, -1)  # [K, D, D_out] in context order
+        pad_lo = -context[0]
+        pad_hi = context[-1]
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(pad_lo, pad_hi)],
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=dtype,
+        )
+    else:
+        out = splice_frames(x, context) @ w
+    if b is not None:
+        out = out + b.astype(dtype)
+    return out
+
+
 def dropout(x, rate, rng, train):
     """Inverted dropout; identity when not training or rate == 0."""
     if not train or rate == 0.0 or rng is None:

@@ -296,13 +296,14 @@ def encode(params, cfg: TransformerConfig, src_seq, src_mask, *, train=False,
     rngs = _Rngs(rng)
     dtype = cfg.compute_dtype
 
-    x = splice_frames(src_seq, cfg.lda_context)
-    x = x.astype(dtype) @ p["lda"]["w"].astype(dtype) + p["lda"]["b"].astype(dtype)
+    x = common.spliced_linear(
+        src_seq, p["lda"]["w"], p["lda"]["b"], cfg.lda_context, dtype=dtype
+    )
     x = x @ p["src_proj"]["w"].astype(dtype)
     x = dropout(x, cfg.en_dropout, rngs.next(), train)
     for ctx, layer in zip(cfg.tdnn_contexts, p["tdnn"]):
-        h = splice_frames(x, ctx)
-        x = jax.nn.relu(h @ layer["w"].astype(dtype) + layer["b"].astype(dtype))
+        h = common.spliced_linear(x, layer["w"], layer["b"], ctx, dtype=dtype)
+        x = jax.nn.relu(h)
         x = dropout(x, cfg.en_dropout, rngs.next(), train)
 
     pos_table = position_encoding_table(cfg.encoder_max_len, cfg.en_d_model)

@@ -107,7 +107,7 @@ def train_model(
     os.makedirs(save_model_dir, exist_ok=True)
     state, tx = create_train_state(
         params, start_lr=start_lr, soft_coefficient=soft_coefficient,
-        rng=jax.random.PRNGKey(seed),
+        rng=jax.random.key(seed, impl="rbg"),
     )
     start_epoch = 1
     if resume:
