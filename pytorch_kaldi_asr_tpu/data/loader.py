@@ -21,7 +21,6 @@ import numpy as np
 
 from pytorch_kaldi_asr_tpu.io import kaldi_io
 from pytorch_kaldi_asr_tpu.data import instances as instances_handler
-from pytorch_kaldi_asr_tpu.utils import constants
 from pytorch_kaldi_asr_tpu.utils.logging import info
 
 

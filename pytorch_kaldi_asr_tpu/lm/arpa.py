@@ -8,7 +8,6 @@ extension)."""
 from __future__ import annotations
 
 import gzip
-import math
 
 from pytorch_kaldi_asr_tpu.lm.ngram import NgramLM
 

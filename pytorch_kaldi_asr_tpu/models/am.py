@@ -20,7 +20,6 @@ from pytorch_kaldi_asr_tpu.models.transformer import (
     encode,
     init_transformer,
 )
-from pytorch_kaldi_asr_tpu.utils import constants
 
 
 def init_am(rng, cfg: TransformerConfig, n_targets, lda_mat=None):

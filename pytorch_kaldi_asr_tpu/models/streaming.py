@@ -18,12 +18,10 @@ implementation exists (SURVEY.md §7 hard part 6); the design here:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from pytorch_kaldi_asr_tpu.models.common import (
-    dropout,
     position_encoding_table,
 )
 from pytorch_kaldi_asr_tpu.models.transformer import (

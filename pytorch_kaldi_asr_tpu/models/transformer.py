@@ -30,7 +30,7 @@ tests in tests/test_parity_torch.py):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

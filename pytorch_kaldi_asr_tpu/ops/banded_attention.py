@@ -24,7 +24,6 @@ multiple of 128 lanes for MXU efficiency but any size compiles.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -5,8 +5,6 @@ the epoch driver, then combine the final checkpoints."""
 import argparse
 import os
 
-import jax
-
 from pytorch_kaldi_asr_tpu.data import read_vocab
 from pytorch_kaldi_asr_tpu.data.loader import make_batch_loader
 from pytorch_kaldi_asr_tpu.train import (

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from pytorch_kaldi_asr_tpu.data.loader import BatchLoader, build_triples
+from pytorch_kaldi_asr_tpu.data.loader import BatchLoader
 from pytorch_kaldi_asr_tpu.io import kaldi_io
 from pytorch_kaldi_asr_tpu.models import am
 from pytorch_kaldi_asr_tpu.models.transformer import TransformerConfig

@@ -12,7 +12,6 @@ stage 0 invokes it on demand so data dirs need no pre-existing cmvn.scp.)"""
 
 import sys
 
-from pytorch_kaldi_asr_tpu.io import kaldi_io
 from pytorch_kaldi_asr_tpu.tools.cmvn import compute_cmvn_stats
 
 

@@ -16,7 +16,7 @@ import os
 import random
 import shutil
 
-from pytorch_kaldi_asr_tpu.utils.logging import info, warning
+from pytorch_kaldi_asr_tpu.utils.logging import info
 
 UTT_TABLES = ("feats.scp", "text", "utt2spk", "wav.scp", "feats.length",
               "segments", "vad.scp")

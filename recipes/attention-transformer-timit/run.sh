@@ -40,6 +40,13 @@ if [ $stage -le 0 ]; then
     echo '[PROCEDURE] preparing instances.'
     max_len=$encoder_max_len
     for dataset in train${speed_perturb}${data_perfix} dev${data_perfix} test${data_perfix}; do
+        if [ ! -f data/$dataset/feats.scp ] && [ -f data/$dataset/wav.scp ]; then
+            # self-contained feature extraction from audio (the upstream
+            # pipeline ran Kaldi compute-fbank-feats before the recipe)
+            python3 -m pytorch_kaldi_asr_tpu.tools.fbank \
+                scp:data/$dataset/wav.scp \
+                ark,scp:data/$dataset/feats.ark,data/$dataset/feats.scp
+        fi
         python3 -m pytorch_kaldi_asr_tpu.tools.feat_to_len \
             scp:data/$dataset/feats.scp ark,t:data/$dataset/feats.length
         python3 -m pytorch_kaldi_asr_tpu.tools.trim_instance_length \
