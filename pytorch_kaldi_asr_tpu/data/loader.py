@@ -77,6 +77,11 @@ class BatchLoader:
                otherwise matrices are read per batch.
     src_pad / tgt_pad: static padded lengths; default = corpus max rounded up
                to a multiple of 8 frames / 8 tokens (sublane-friendly).
+    num_buckets: >1 groups utterances into length buckets, each padded to its
+               own (fixed) length — K compiled shapes instead of padding the
+               whole corpus to the global max (the XLA-friendly upgrade over
+               the reference's global padding, SURVEY.md §7).  Batches are
+               drawn within buckets; batch order is shuffled across buckets.
     seed:      epoch shuffling seed (epoch index is mixed in so every epoch
                gets a fresh deterministic permutation).
     """
@@ -91,6 +96,7 @@ class BatchLoader:
         tgt_pad=None,
         seed=0,
         shuffle=True,
+        num_buckets=1,
     ):
         if mode not in ("drop", "all"):
             raise ValueError("mode of BatchLoader can only be [all] or [drop]")
@@ -124,6 +130,19 @@ class BatchLoader:
             else self._load(self.src_refs[0]).shape[1]
         )
 
+        # length buckets: contiguous groups in sorted-length order, each with
+        # its own static pad; bucket membership is fixed at init so shapes
+        # never change across epochs
+        num_buckets = max(1, min(num_buckets, len(triples)))
+        order = np.argsort(np.asarray(src_lens))
+        splits = np.array_split(order, num_buckets)
+        self._buckets = []
+        for grp in splits:
+            if len(grp) == 0:
+                continue
+            pad = src_pad or _round_up(max(src_lens[i] for i in grp), 8)
+            self._buckets.append((np.asarray(grp), pad))
+
     @staticmethod
     def _load(ref):
         if isinstance(ref, np.ndarray):
@@ -131,9 +150,11 @@ class BatchLoader:
         return kaldi_io.read_mat(ref)
 
     def __len__(self):
-        n = len(self.keys) // self.batch_size
-        if self.mode == "all" and len(self.keys) % self.batch_size:
-            n += 1
+        n = 0
+        for grp, _pad in self._buckets:
+            n += len(grp) // self.batch_size
+            if self.mode == "all" and len(grp) % self.batch_size:
+                n += 1
         return n
 
     @property
@@ -141,42 +162,44 @@ class BatchLoader:
         return len(self)
 
     def __iter__(self):
-        order = np.arange(len(self.keys))
-        if self.shuffle:
-            rng = np.random.default_rng(
-                np.random.SeedSequence([self.seed, self.epoch])
-            )
-            rng.shuffle(order)
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch])
+        )
         self.epoch += 1
 
-        n_full = len(self.keys) // self.batch_size
-        batches = [
-            order[i * self.batch_size : (i + 1) * self.batch_size]
-            for i in range(n_full)
-        ]
-        tail = order[n_full * self.batch_size :]
-        if self.mode == "all" and len(tail):
-            # pad the tail up to batch_size with repeats, valid=0
-            pad = np.resize(tail, self.batch_size - len(tail))
-            batches.append(np.concatenate([tail, pad]))
-            tail_valid = len(tail)
-        else:
-            tail_valid = None
+        batches = []  # (index array, n_valid, src_pad)
+        for grp, pad in self._buckets:
+            order = grp.copy()
+            if self.shuffle:
+                rng.shuffle(order)
+            n_full = len(order) // self.batch_size
+            for i in range(n_full):
+                batches.append(
+                    (order[i * self.batch_size : (i + 1) * self.batch_size],
+                     self.batch_size, pad)
+                )
+            tail = order[n_full * self.batch_size :]
+            if self.mode == "all" and len(tail):
+                # pad the tail up to batch_size with repeats, valid=0
+                fill = np.resize(tail, self.batch_size - len(tail))
+                batches.append(
+                    (np.concatenate([tail, fill]), len(tail), pad)
+                )
+        if self.shuffle:
+            rng.shuffle(batches)
 
-        for bi, idx in enumerate(batches):
-            yield self._make_batch(
-                idx,
-                tail_valid if (tail_valid is not None and bi == len(batches) - 1)
-                else self.batch_size,
-            )
+        for idx, n_valid, pad in batches:
+            yield self._make_batch(idx, n_valid, pad)
 
-    def _make_batch(self, idx, n_valid):
+    def _make_batch(self, idx, n_valid, src_pad=None):
         feats = [
             self._feats[i] if self._feats is not None else self._load(self.src_refs[i])
             for i in idx
         ]
         labels = [self.labels[i] for i in idx]
-        src, src_mask = instances_handler.pad_to_longest(feats, self.src_pad)
+        src, src_mask = instances_handler.pad_to_longest(
+            feats, src_pad or self.src_pad
+        )
         tgt, tgt_mask = instances_handler.pad_to_longest(labels, self.tgt_pad)
         valid = np.zeros(self.batch_size, dtype=np.uint8)
         valid[:n_valid] = 1

@@ -52,13 +52,28 @@ def run_job(log_file, command, job=None):
     return proc.returncode
 
 
+def run_job_with_retries(log_file, command, job=None, retries=0):
+    """run_job plus requeue-on-failure (role of queue.pl's remap of
+    OOM-killed jobs into the re-runnable state, reference kaldi/queue.pl
+    exit-137 handling)."""
+    code = run_job(log_file, command, job)
+    attempt = 0
+    while code != 0 and attempt < retries:
+        attempt += 1
+        code = run_job(log_file, command, job)
+    return code
+
+
 def launch(argv):
     argv = list(argv)
     max_jobs = 0
+    retries = 0
     while argv and argv[0].startswith("--"):
         opt = argv.pop(0)
         if opt.startswith("--max-jobs"):
             max_jobs = int(opt.split("=", 1)[1] if "=" in opt else argv.pop(0))
+        elif opt.startswith("--retries"):
+            retries = int(opt.split("=", 1)[1] if "=" in opt else argv.pop(0))
         elif opt in ("-q", "-l"):  # accepted+ignored queue.pl resource flags
             argv.pop(0)
         else:
@@ -79,13 +94,12 @@ def launch(argv):
     log_file, command = argv[0], argv[1:]
 
     if job_range is None:
-        code = run_job(log_file, command)
+        code = run_job_with_retries(log_file, command, retries=retries)
         if code != 0:
             print(f"launch: job failed (code {code}), log is in {log_file}",
                   file=sys.stderr)
         return code
 
-    procs = []
     failed = 0
     jobs = list(job_range)
     limit = max_jobs or len(jobs)
@@ -93,7 +107,9 @@ def launch(argv):
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=limit) as pool:
         futures = {
-            pool.submit(run_job, log_file, command, job): job for job in jobs
+            pool.submit(run_job_with_retries, log_file, command, job,
+                        retries): job
+            for job in jobs
         }
         for fut in concurrent.futures.as_completed(futures):
             if fut.result() != 0:

@@ -51,12 +51,15 @@ def _shift_for_teacher_forcing(tgt, tgt_mask):
 
 
 def make_train_step(cfg, tx, *, smoothing=False, donate=True, mesh=None,
-                    batch_axis="data"):
+                    batch_axis="data", specaugment=None):
     """Build the jitted train step:
     (state, src, src_mask, tgt, tgt_mask) → (state, metrics dict).
 
     With ``mesh``, arrays are constrained to batch-parallel shardings and the
-    compiler inserts the gradient psum over the mesh."""
+    compiler inserts the gradient psum over the mesh.
+
+    ``specaugment``: None, True, or a kwargs dict for
+    ops.specaugment.spec_augment — applied on-chip inside the step."""
 
     def loss_fn(params, src, src_mask, tgt_in, tgt_in_mask, goal, rng):
         logits = transformer_forward(
@@ -77,6 +80,12 @@ def make_train_step(cfg, tx, *, smoothing=False, donate=True, mesh=None,
             tgt = jax.lax.with_sharding_constraint(tgt, batch_sharding)
         tgt_in, tgt_in_mask, goal = _shift_for_teacher_forcing(tgt, tgt_mask)
         step_rng = jax.random.fold_in(state.rng, state.step)
+        if specaugment:
+            from pytorch_kaldi_asr_tpu.ops.specaugment import spec_augment
+
+            sa_kw = specaugment if isinstance(specaugment, dict) else {}
+            step_rng, sa_rng = jax.random.split(step_rng)
+            src = spec_augment(sa_rng, src, src_mask, **sa_kw)
         (loss, (n_correct, n_words)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, src, src_mask, tgt_in, tgt_in_mask, goal, step_rng)

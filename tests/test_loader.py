@@ -80,3 +80,34 @@ def test_lazy_loading(tmp_path):
     np.testing.assert_array_equal(
         batch.src[0][: mats[batch.keys[0]].shape[0]], mats[batch.keys[0]]
     )
+
+
+def test_bucketed_loader_shapes_and_coverage():
+    triples = _make_triples(24, seed=5)
+    loader = BatchLoader(triples, batch_size=4, mode="all", shuffle=False,
+                         num_buckets=3)
+    batches = list(loader)
+    pads = {b.src.shape[1] for b in batches}
+    assert len(pads) > 1  # different buckets, different static lengths
+    assert max(pads) == loader.src_pad
+    # every utterance appears exactly once among valid rows
+    keys = [k for b in batches for k, v in zip(b.keys, b.valid) if v]
+    assert sorted(keys) == sorted(t[0] for t in triples)
+    # shapes are stable across epochs
+    pads2 = {b.src.shape[1] for b in loader}
+    assert pads2 == pads
+
+
+def test_bucketed_loader_reduces_padding():
+    rng = np.random.default_rng(7)
+    triples = []
+    for i in range(16):
+        n = 8 if i < 8 else 64  # bimodal lengths
+        triples.append((f"u{i:02d}", rng.normal(size=(n, 3)).astype(np.float32),
+                        np.array([2, 4, 3])))
+    flat = BatchLoader(triples, batch_size=4, shuffle=False)
+    bucketed = BatchLoader(triples, batch_size=4, shuffle=False,
+                           num_buckets=2)
+    flat_cells = sum(b.src.shape[1] for b in flat)
+    buck_cells = sum(b.src.shape[1] for b in bucketed)
+    assert buck_cells < flat_cells * 0.7
