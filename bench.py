@@ -28,15 +28,17 @@ SRC_DIM = 40
 VOCAB = 52
 
 
-def _flagship_setup():
+def _flagship_setup(encoder_type=None):
     import jax
 
     from pytorch_kaldi_asr_tpu.models import TransformerConfig, init_transformer
 
     import jax.numpy as jnp
 
+    encoder_type = encoder_type or os.environ.get("BENCH_MODEL", "tdnn")
     cfg = TransformerConfig(
-        src_dim=SRC_DIM, vocab_size=VOCAB, compute_dtype=jnp.bfloat16
+        src_dim=SRC_DIM, vocab_size=VOCAB, compute_dtype=jnp.bfloat16,
+        encoder_type=encoder_type,
     )
     rng = np.random.default_rng(0)
     lda_in = SRC_DIM * len(cfg.lda_context)
@@ -160,8 +162,11 @@ def get_baseline():
 def main():
     value = measure_jax()
     baseline = get_baseline()
+    model = os.environ.get("BENCH_MODEL", "tdnn")
+    metric = "am_train_throughput" if model == "tdnn" else \
+        f"am_train_throughput_{model}"
     print(json.dumps({
-        "metric": "am_train_throughput",
+        "metric": metric,
         "value": round(value, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(value / baseline, 2),

@@ -134,3 +134,41 @@ def test_train_resume_continues_from_checkpoint(tmp_path):
         for l in (tmp_path / "metrics.jsonl").read_text().splitlines()
     ]
     assert [r["epoch"] for r in records] == [3, 4]
+
+
+def test_prepare_lang(tmp_path):
+    from pytorch_kaldi_asr_tpu.tools.prepare_lang import prepare_lang
+
+    d = tmp_path / "dict"
+    d.mkdir()
+    (d / "lexicon.txt").write_text(
+        "cat k ae t\ncat k a t\nat ae t\n<unk> spn\n"
+    )
+    (d / "silence_phones.txt").write_text("sil\nspn\n")
+    (d / "optional_silence.txt").write_text("sil\n")
+    lang = prepare_lang(str(d), str(tmp_path / "lang"))
+    words = dict(
+        l.split() for l in open(os.path.join(lang, "words.txt"))
+    )
+    phones = dict(
+        l.split() for l in open(os.path.join(lang, "phones.txt"))
+    )
+    assert words["<eps>"] == "0" and "#0" in words and "cat" in words
+    assert "sil" in phones and "#0" in phones
+    fst = open(os.path.join(lang, "L.fst.txt")).read()
+    assert len(fst.strip().split("\n")) > 5
+    # both pronunciations of 'cat' present: two arcs emit the word label
+    cat_arcs = [l for l in fst.split("\n")
+                if len(l.split("\t")) == 5 and
+                l.split("\t")[3] == words["cat"]]
+    assert len(cat_arcs) == 2
+
+
+def test_prepare_lang_rejects_bad_dict(tmp_path):
+    from pytorch_kaldi_asr_tpu.tools.prepare_lang import prepare_lang
+
+    d = tmp_path / "dict"
+    d.mkdir()
+    (d / "lexicon.txt").write_text("")
+    with pytest.raises((ValueError, FileNotFoundError)):
+        prepare_lang(str(d), str(tmp_path / "lang"))
