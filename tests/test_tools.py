@@ -174,3 +174,41 @@ def test_launcher_propagates_failure(tmp_path):
     )
     assert proc.returncode == 1
     assert "2 / 2 failed" in proc.stderr
+
+
+def test_compute_wer_cli(tmp_path):
+    (tmp_path / "ref").write_text("u1 a b c d\nu2 x y\n")
+    (tmp_path / "hyp").write_text("u1 a b z d\n")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytorch_kaldi_asr_tpu.tools.compute_wer",
+         "--mode=present", f"ark:{tmp_path}/ref", f"ark:{tmp_path}/hyp"],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0
+    assert "%WER 25.00 [ 1 / 4, 0 ins, 0 del, 1 sub ]" in proc.stdout
+
+
+def test_best_wer_cli(tmp_path):
+    (tmp_path / "a_wer").write_text("%WER 12.00 [ 12 / 100 ]\n")
+    (tmp_path / "b_wer").write_text("%WER 9.50 [ 9 / 100 ]\n")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytorch_kaldi_asr_tpu.tools.best_wer",
+         str(tmp_path / "*_wer")],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0
+    assert "b_wer" in proc.stdout and "9.50" in proc.stdout
+
+
+def test_summarize_logs_cli(tmp_path):
+    (tmp_path / "x.log").write_text(
+        "# cmd\n[WARNING] something odd\n[ERROR] boom\n# Ended (code 1) at\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytorch_kaldi_asr_tpu.tools.summarize_logs",
+         str(tmp_path / "*.log")],
+        capture_output=True, text=True,
+    )
+    assert "1 ERROR lines" in proc.stdout
+    assert "1 WARNING lines" in proc.stdout
+    assert "1 failed jobs" in proc.stdout
