@@ -212,3 +212,22 @@ def test_summarize_logs_cli(tmp_path):
     assert "1 ERROR lines" in proc.stdout
     assert "1 WARNING lines" in proc.stdout
     assert "1 failed jobs" in proc.stdout
+
+
+def test_compute_priors(tmp_path):
+    from pytorch_kaldi_asr_tpu.tools.compute_priors import compute_priors
+
+    (tmp_path / "ali.txt").write_text("u1 0 0 1 2\nu2 1 1 1\n")
+    priors = compute_priors([str(tmp_path / "ali.txt")], n_targets=4)
+    assert priors.shape == (4,)
+    assert abs(priors.sum() - 1.0) < 1e-9
+    assert priors[1] > priors[0] > priors[3]  # counts 4 > 2 > 0
+
+
+def test_ark_writer_text_mode(tmp_path):
+    mat = np.array([[1.5, 2.0], [3.0, 4.25]], np.float32)
+    path = tmp_path / "t.ark"
+    with kaldi_io.ArkWriter(str(path), text=True) as w:
+        w.write("u1", mat)
+    got = dict(kaldi_io.read_mat_ark(str(path)))["u1"]
+    np.testing.assert_allclose(got, mat)
