@@ -64,16 +64,6 @@ def open_rx(rxfilename):
     return f
 
 
-def open_wx(wxfilename):
-    """Open an extended write-filename and return a binary file object."""
-    if wxfilename == "-":
-        return os.sys.stdout.buffer
-    if wxfilename.startswith("|"):
-        proc = subprocess.Popen(wxfilename[1:], shell=True, stdin=subprocess.PIPE)
-        return proc.stdin
-    return open(wxfilename, "wb")
-
-
 # ---------------------------------------------------------------------------
 # low-level binary readers
 # ---------------------------------------------------------------------------
@@ -118,10 +108,6 @@ def _read_token(f):
             break
         tok.append(c)
     return b"".join(tok).decode("utf-8")
-
-
-def _peek_token(data):
-    return data.split(b" ", 1)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -374,7 +360,7 @@ def scp_entries(scp_rxfilename):
             if len(parts) >= 2:
                 yield parts[0], parts[1]
     finally:
-        pass
+        f.close()
 
 
 def read_mat_scp(scp_rxfilename):

@@ -73,6 +73,17 @@ def arpa_to_fst_text(lm: NgramLM, symbols, path, *, disambig_symbol="#0",
              -bow * LN10)
         )
 
+    # OpenFst's text format takes the FIRST line's source as the start
+    # state: put state-0 (<s>-history) arcs first; if the LM has no
+    # <s>-context n-grams at all (e.g. order 1), anchor the start with an
+    # explicit backoff arc 0 → empty-history.
+    arcs.sort(key=lambda a: a[0] != 0)
+    if not any(a[0] == 0 for a in arcs):
+        arcs.insert(
+            0,
+            (0, states[()], symbols.get(disambig_symbol, 0),
+             symbols.get(eps_symbol, 0), 0.0),
+        )
     with open(path, "w", encoding="utf-8") as f:
         for src, dst, il, ol, cost in arcs:
             f.write(f"{src}\t{dst}\t{il}\t{ol}\t{cost:.6f}\n")

@@ -40,10 +40,7 @@ def count_ngrams(sentences, order):
         padded = [BOS_WORD] + list(words) + [EOS_WORD]
         for n in range(1, order + 1):
             for i in range(len(padded) - n + 1):
-                gram = tuple(padded[i : i + n])
-                if n == 1 and gram == (EOS_WORD,):
-                    pass
-                counts[n][gram] += 1
+                counts[n][tuple(padded[i : i + n])] += 1
     return counts[1:]
 
 

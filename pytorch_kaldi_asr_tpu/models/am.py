@@ -51,13 +51,16 @@ def am_log_posteriors(params, cfg, src, src_mask, *, train=False, rng=None,
 
 
 def frame_ce_loss(params, cfg, src, src_mask, targets, *, train=False,
-                  rng=None):
+                  rng=None, utt_valid=None):
     """Frame-level CE: targets [B, S'] int ids aligned with the (folded)
-    encoder output; padded frames (mask 0) excluded.
+    encoder output; padded frames (mask 0) excluded.  ``utt_valid`` [B]
+    additionally excludes the loader's duplicated tail rows ('all' mode).
     Returns (loss_sum, n_correct, n_frames)."""
     logp, mask = am_log_posteriors(params, cfg, src, src_mask, train=train,
                                    rng=rng)
     valid = mask.astype(jnp.float32)
+    if utt_valid is not None:
+        valid = valid * jnp.asarray(utt_valid).astype(jnp.float32)[:, None]
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1).squeeze(-1)
     loss = jnp.sum(nll * valid)
     pred = jnp.argmax(logp, axis=-1)

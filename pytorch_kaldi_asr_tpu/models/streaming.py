@@ -114,7 +114,11 @@ class StreamingBandedEncoder:
         if end != 0:
             raise ValueError("streaming needs a causal band (end == 0)")
         self.params = params
-        self.cfg = cfg
+        # layer norm must apply even on length-1 chunks: the offline encoder
+        # runs LN at every position of the full utterance, so the
+        # length-1-skip quirk would break streaming/offline equality for
+        # frame-by-frame streaming
+        self.cfg = cfg.replace(ln_skip_len1=False)
         self.window = -start
         self.pos_table = position_encoding_table(cfg.encoder_max_len,
                                                  cfg.en_d_model)

@@ -236,14 +236,13 @@ def _masked_softmax(logits, blocked):
     return jnp.where(blocked, 0.0, attn)
 
 
-def multi_head_attention(p, q, k, v, blocked, cfg, rate, rngs, train,
-                         d_model_scale=None):
+def multi_head_attention(p, q, k, v, blocked, cfg, rate, rngs, train):
     """Post-LN multi-head attention.  ``blocked`` is [B, Lq, Lk] bool.
 
-    Scale divisor defaults to sqrt(d_model) — the reference's ``temper``
+    Scale divisor is sqrt(d_model) — the reference's ``temper``
     (Modules.py:73) — not sqrt(d_k)."""
     dtype = cfg.compute_dtype
-    scale = d_model_scale or q.shape[-1]
+    scale = q.shape[-1]
     residual = q
     qs = jnp.einsum("bld,hdk->bhlk", q.astype(dtype), p["w_qs"].astype(dtype))
     ks = jnp.einsum("bld,hdk->bhlk", k.astype(dtype), p["w_ks"].astype(dtype))

@@ -68,7 +68,7 @@ def launch(argv):
     argv = list(argv)
     max_jobs = 0
     retries = 0
-    while argv and argv[0].startswith("--"):
+    while argv and (argv[0].startswith("--") or argv[0] in ("-q", "-l")):
         opt = argv.pop(0)
         if opt.startswith("--max-jobs"):
             max_jobs = int(opt.split("=", 1)[1] if "=" in opt else argv.pop(0))

@@ -46,7 +46,13 @@ def main(argv=None):
     if opt.priors_file:
         import jax.numpy as jnp
 
-        priors = np.loadtxt(opt.priors_file)
+        priors = np.atleast_1d(np.loadtxt(opt.priors_file))
+        if priors.shape != (n_targets,):
+            raise ValueError(
+                f"priors file has {priors.size} entries but the model "
+                f"has {n_targets} targets — pass -n_targets to "
+                f"compute_priors"
+            )
         log_priors = jnp.log(jnp.asarray(priors / priors.sum()))
 
     n = am.write_posteriors(params, cfg, loader, opt.wspecifier,

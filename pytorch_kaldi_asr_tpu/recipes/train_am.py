@@ -84,7 +84,7 @@ def train_am(data_dir, dev_dir, save_dir, *, encoder_type="tdnnf",
     @jax.jit
     def eval_step(params, src, src_mask, tgt, valid):
         loss, n_correct, n = am.frame_ce_loss(params, cfg, src, src_mask,
-                                              tgt)
+                                              tgt, utt_valid=valid)
         return n_correct, n
 
     rng = jax.random.PRNGKey(seed + 1)
@@ -106,7 +106,8 @@ def train_am(data_dir, dev_dir, save_dir, *, encoder_type="tdnnf",
         for batch in dev_loader:
             c, n = eval_step(params, jnp.asarray(batch.src),
                              jnp.asarray(batch.src_mask),
-                             jnp.asarray(batch.tgt), batch.valid)
+                             jnp.asarray(batch.tgt),
+                             jnp.asarray(batch.valid))
             n_c += float(c)
             n_t += float(n)
         info("epoch %d: train frame-acc %.3f, dev frame-acc %.3f",

@@ -36,8 +36,14 @@ def perturb_data_dir_speed(src, dst, factor, *, mode="feats"):
     os.makedirs(dst, exist_ok=True)
     prefix = f"sp{factor}-"
 
-    def rekey(table):
-        return {prefix + k: v for k, v in table.items()}
+    def rekey(table, prefix_values=False):
+        # speaker ids are prefixed too (as utils/perturb_data_dir_speed.sh
+        # does) so per-speaker CMVN never mixes original and time-stretched
+        # utterances after combine_data_dirs
+        return {
+            prefix + k: (prefix + v if prefix_values else v)
+            for k, v in table.items()
+        }
 
     if mode == "wav":
         wav = dd.read_table(os.path.join(src, "wav.scp"))
@@ -62,8 +68,10 @@ def perturb_data_dir_speed(src, dst, factor, *, mode="feats"):
     for name in ("text", "utt2spk"):
         path = os.path.join(src, name)
         if os.path.exists(path):
-            dd.write_table(os.path.join(dst, name),
-                           rekey(dd.read_table(path)))
+            dd.write_table(
+                os.path.join(dst, name),
+                rekey(dd.read_table(path), prefix_values=(name == "utt2spk")),
+            )
     if os.path.exists(os.path.join(dst, "utt2spk")):
         dd.write_table(
             os.path.join(dst, "spk2utt"),

@@ -109,6 +109,7 @@ def train_model(
         rng=jax.random.key(seed, impl="rbg"),
     )
     start_epoch = 1
+    resumed_epoch = 0
     if resume:
         path, last_epoch = latest_epoch_checkpoint(save_model_dir)
         if path is not None:
@@ -121,6 +122,7 @@ def train_model(
                 state.rng,
             )
             start_epoch = last_epoch + 1
+            resumed_epoch = last_epoch
             info("resuming from %s (epoch %d, step %d)", path, last_epoch,
                  ckpt["step"])
     train_step = make_train_step(cfg, tx, smoothing=smoothing, mesh=mesh)
@@ -134,8 +136,11 @@ def train_model(
 
     # start below zero so the first epoch always becomes the initial best
     # (with exactly-zero dev accuracy the reference's `>` comparison leaves
-    # best_epoch at 0 and the combine stage crashes on missing checkpoints)
-    best_accu, best_epoch, best_params = -1.0, 0, params
+    # best_epoch at 0 and the combine stage crashes on missing checkpoints).
+    # When resuming past the final epoch (the loop runs zero times), the
+    # resumed checkpoint — not the passed-in init params — is the best.
+    best_accu, best_epoch = -1.0, resumed_epoch
+    best_params = jax.device_get(state.params) if resumed_epoch else params
     train_start = time.time()
     for epoch in range(start_epoch, epochs + 1):
         info("trainning epoch %d.", epoch)

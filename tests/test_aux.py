@@ -172,3 +172,60 @@ def test_prepare_lang_rejects_bad_dict(tmp_path):
     (d / "lexicon.txt").write_text("")
     with pytest.raises((ValueError, FileNotFoundError)):
         prepare_lang(str(d), str(tmp_path / "lang"))
+
+
+def test_resume_past_final_epoch_uses_resumed_checkpoint(tmp_path):
+    """Re-running a finished training with -resume must not crash or save
+    the untrained init params as best."""
+    from pytorch_kaldi_asr_tpu.data.loader import BatchLoader
+    from pytorch_kaldi_asr_tpu.models.transformer import init_transformer
+    from pytorch_kaldi_asr_tpu.train import load_checkpoint, train_model
+    from tests.test_models import small_cfg
+
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    triples = [
+        (f"u{i}", rng.normal(size=(8, cfg.src_dim)).astype(np.float32),
+         np.array([2, 4, 5, 3]))
+        for i in range(4)
+    ]
+    loader = BatchLoader(triples, batch_size=4, mode="drop")
+    ev = BatchLoader(triples, batch_size=4, mode="all")
+    out = str(tmp_path / "exp")
+    train_model(params, cfg, loader, ev, ev, out, epochs=2, save_interval=1,
+                start_lr=0.01)
+    trained = load_checkpoint(os.path.join(out, "epoch.2"))["params"]
+    best_params, best_epoch, _ = train_model(
+        params, cfg, loader, ev, ev, out, epochs=2, save_interval=1,
+        start_lr=0.01, resume=True,
+    )
+    assert best_epoch == 2
+    np.testing.assert_array_equal(
+        np.asarray(best_params["decoder"]["embed"]),
+        np.asarray(trained["decoder"]["embed"]),
+    )
+
+
+def test_launcher_accepts_queue_pl_resource_flags(tmp_path):
+    import subprocess, sys
+
+    log = tmp_path / "log.txt"
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytorch_kaldi_asr_tpu.parallel.launch",
+         "-q", "all.q", "-l", "gpu=1", str(log), "bash", "-c", "echo hi"],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0
+    assert "hi" in log.read_text()
+
+
+def test_lm_fst_order1_has_start_state_zero(tmp_path):
+    lm = train_ngram_lm(CORPUS, order=1)
+    vocab = {"<blank>": 0}
+    for w in sorted({w for s in CORPUS for w in s}):
+        vocab[w] = len(vocab)
+    vocab["#0"] = len(vocab)
+    path = arpa_to_fst_text(lm, vocab, str(tmp_path / "g1.fst.txt"))
+    first = open(path).readline().split("\t")
+    assert first[0] == "0"  # start state anchored
