@@ -35,6 +35,8 @@ encoder_max_len=${encoder_max_len:-500}
 decoder_max_len=${decoder_max_len:-100}
 lda_mat=${lda_mat:-data/lda.mat}
 encoder_type=${encoder_type:-tdnn}   # tdnn|banded|blstm|conformer|tdnnf
+encoder_sub_sequence=${encoder_sub_sequence:-'(-100,0)'}
+decoder_sub_sequence=${decoder_sub_sequence:-'(-10,0)'}
 
 if [ $stage -le 0 ]; then
     echo '[PROCEDURE] preparing instances.'
@@ -102,8 +104,8 @@ if [ $stage -le 3 ]; then
         -encoder_max_len $encoder_max_len \
         -decoder_max_len $decoder_max_len \
         -src_fold 1 \
-        -encoder_sub_sequence '(-100,0)' \
-        -decoder_sub_sequence '(-10,0)' \
+        -encoder_sub_sequence "$encoder_sub_sequence" \
+        -decoder_sub_sequence "$decoder_sub_sequence" \
         \
         -en_layers $en_layers \
         -de_layers $de_layers \

@@ -116,3 +116,28 @@ def test_prefetch_to_device_preserves_batches():
     for a, b in zip(direct, prefetched):
         assert a.keys == b.keys
         np.testing.assert_array_equal(a.src, np.asarray(b.src))
+
+
+def test_fast_beam_on_data_parallel_mesh():
+    """Beam search over a batch sharded across the mesh must match the
+    unsharded result (GSPMD handles the decode scan)."""
+    from pytorch_kaldi_asr_tpu.decode.fast_beam import fast_beam_search
+
+    cfg = small_cfg(decoder_sub_sequence=(-3, 0))
+    params = init_transformer(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(5)
+    src = rng.normal(size=(8, 10, cfg.src_dim)).astype(np.float32)
+    src_mask = np.ones((8, 10), np.uint8)
+
+    plain = fast_beam_search(params, cfg, jnp.asarray(src),
+                             jnp.asarray(src_mask), beam_size=3, max_len=8)
+
+    mesh = make_mesh(model=1)
+    src_s, mask_s = shard_batch_arrays(mesh, src, src_mask)
+    with mesh:
+        sharded = fast_beam_search(params, cfg, src_s, mask_s, beam_size=3,
+                                   max_len=8)
+    np.testing.assert_array_equal(np.asarray(plain.tokens),
+                                  np.asarray(sharded.tokens))
+    np.testing.assert_allclose(np.asarray(plain.scores),
+                               np.asarray(sharded.scores), atol=1e-4)

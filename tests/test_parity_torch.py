@@ -146,3 +146,53 @@ def test_grad_parity_loss():
         embed.grad.numpy(),
         atol=1e-3,
     )
+
+
+def test_encoder_weight_grad_parity():
+    """Gradients w.r.t. a TDNN layer weight must match torch — exercises the
+    conv-form splice backward against the explicit splice+matmul oracle."""
+    import torch
+
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(21), cfg)
+    src, src_mask, tgt, tgt_mask = _toy_batch(cfg)
+    goal, tgt_in, tgt_in_mask = tgt[:, 1:], tgt[:, :-1], tgt_mask[:, :-1]
+
+    def jax_loss(p):
+        logits = transformer_forward(
+            p, cfg, jnp.asarray(src), jnp.asarray(src_mask),
+            jnp.asarray(tgt_in), jnp.asarray(tgt_in_mask),
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, jnp.asarray(goal)[..., None],
+                                   axis=-1).squeeze(-1)
+        return jnp.sum(nll * (jnp.asarray(goal) != 0))
+
+    j_grad = jax.grad(jax_loss)(params)
+
+    np_params = _np_params(params)
+    w0 = torch.from_numpy(np_params["encoder"]["tdnn"][0]["w"]).clone()
+    w0.requires_grad_(True)
+    np_params["encoder"]["tdnn"][0]["w"] = w0
+
+    orig_t = torch_ref._t
+    torch_ref._t = lambda x: x if isinstance(x, torch.Tensor) else orig_t(x)
+    try:
+        enc = torch_ref.encode(np_params, cfg, torch.from_numpy(src),
+                               torch.from_numpy(src_mask).long())
+        logits = torch_ref.decode(
+            np_params, cfg, torch.from_numpy(tgt_in).long(),
+            torch.from_numpy(tgt_in_mask).long(),
+            torch.from_numpy(src_mask).long(), enc,
+        )
+        goal_t = torch.from_numpy(goal).long()
+        logp = torch.log_softmax(logits, dim=-1)
+        nll = -logp.gather(-1, goal_t.unsqueeze(-1)).squeeze(-1)
+        (nll * (goal_t != 0)).sum().backward()
+    finally:
+        torch_ref._t = orig_t
+
+    np.testing.assert_allclose(
+        np.asarray(j_grad["encoder"]["tdnn"][0]["w"]), w0.grad.numpy(),
+        atol=2e-3,
+    )
