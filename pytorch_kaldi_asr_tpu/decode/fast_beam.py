@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from pytorch_kaldi_asr_tpu.decode.beam import BeamResult, _advance
 from pytorch_kaldi_asr_tpu.models.common import (
     layer_norm,
+    masked_softmax,
     position_encoding_table,
 )
 from pytorch_kaldi_asr_tpu.models.transformer import encode
@@ -48,14 +49,7 @@ def _mha_step(p, x_t, k_ctx, v_ctx, ctx_valid, scale, ln_skip):
     logits = jnp.einsum("nhk,nhck->nhc", q, k_ctx) / jnp.sqrt(
         jnp.asarray(scale, q.dtype)
     )
-    neg_inf = jnp.array(-jnp.inf, logits.dtype)
-    logits = jnp.where(ctx_valid[:, None, :], logits, neg_inf)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    m = jnp.where(jnp.isfinite(m), m, 0.0)
-    e = jnp.exp(logits - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    attn = e / jnp.where(denom == 0, 1.0, denom)
-    attn = jnp.where(ctx_valid[:, None, :], attn, 0.0)
+    attn = masked_softmax(logits, ~ctx_valid[:, None, :])
     out = jnp.einsum("nhc,nhcv->nhv", attn, v_ctx)
     out = out.reshape(out.shape[0], -1) @ p["proj"]["w"] + p["proj"]["b"]
     out = out + x_t  # residual
@@ -149,6 +143,9 @@ def fast_beam_search(params, cfg, src, src_mask, *, beam_size, max_len):
     lengths = jnp.full((b, beam_size), max_len + 1, jnp.int32)
 
     def roll_in(caches, new_kv):
+        if window == 0:
+            # band (0, 0): each position attends only itself — no history
+            return caches
         out = []
         for cache, (k_t, v_t) in zip(caches, new_kv):
             out.append({

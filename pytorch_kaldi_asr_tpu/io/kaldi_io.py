@@ -48,15 +48,37 @@ def _split_offset(rxfilename):
     return rxfilename, None
 
 
+class _PipeReader:
+    """File-like over a shell pipe that enforces Kaldi semantics: a nonzero
+    command exit status is a hard error (surfaced at close), and the child
+    is always reaped."""
+
+    def __init__(self, command):
+        self.command = command
+        self._proc = subprocess.Popen(command, shell=True,
+                                      stdout=subprocess.PIPE)
+
+    def read(self, n=-1):
+        return self._proc.stdout.read(n)
+
+    def close(self):
+        self._proc.stdout.close()
+        code = self._proc.wait()
+        if code != 0:
+            raise IOError(
+                f"pipe command failed with status {code}: {self.command!r}"
+            )
+
+    def __getattr__(self, name):  # readable/seekable probes etc.
+        return getattr(self._proc.stdout, name)
+
+
 def open_rx(rxfilename):
     """Open an extended read-filename and return a binary file object."""
     if rxfilename == "-":
         return _io.BytesIO(os.sys.stdin.buffer.read())
     if rxfilename.endswith("|"):
-        proc = subprocess.Popen(
-            rxfilename[:-1], shell=True, stdout=subprocess.PIPE
-        )
-        return proc.stdout
+        return _PipeReader(rxfilename[:-1])
     path, offset = _split_offset(rxfilename)
     f = open(path, "rb")
     if offset is not None:
@@ -356,8 +378,11 @@ def scp_entries(scp_rxfilename):
     f = open_rx(scp_rxfilename)
     try:
         for line in _io.TextIOWrapper(f, encoding="utf-8"):
-            parts = line.split()
-            if len(parts) >= 2:
+            # split once: rxfilenames may contain spaces (command pipes,
+            # 'gunzip -c x.gz |') — splitting on all whitespace would
+            # truncate them to the first word
+            parts = line.strip().split(None, 1)
+            if len(parts) == 2:
                 yield parts[0], parts[1]
     finally:
         f.close()
@@ -381,6 +406,11 @@ def read_key_value_text(path, value_type=str):
             if value_type is str:
                 out[parts[0]] = " ".join(parts[1:])  # may be empty (e.g. an
                 # empty decode hypothesis)
+            elif len(parts) < 2:
+                raise ValueError(
+                    f"{path}: key {parts[0]!r} has no value (expected "
+                    f"{value_type.__name__})"
+                )
             else:
                 out[parts[0]] = value_type(parts[1])
     return out

@@ -71,6 +71,22 @@ def fold_seq_and_mask(seq, pad_mask, fold):
     return seq, pad_mask
 
 
+def masked_softmax(logits, blocked):
+    """Exact softmax over unblocked entries of the last axis; fully-blocked
+    rows → all zeros (the reference's masked_fill(-inf) → softmax → re-zero,
+    Modules.py:86-90, without NaNs).  The single implementation shared by
+    the transformer, the incremental decoder, and the banded-attention
+    oracle — they are pinned equal by tests and must stay in lockstep."""
+    neg_inf = jnp.array(-jnp.inf, dtype=logits.dtype)
+    logits = jnp.where(blocked, neg_inf, logits)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.exp(logits - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    attn = e / jnp.where(s == 0.0, 1.0, s)
+    return jnp.where(blocked, 0.0, attn)
+
+
 def layer_norm(z, gamma, beta, eps=1e-3, skip_len1=True):
     """Reference-style layer norm (Modules.py:42-51).
 

@@ -64,6 +64,41 @@ def init_banded_encoder(rng, cfg):
     return params
 
 
+def _banded_self_attention(p, x, src_mask, cfg, rate, rngs, train):
+    """Banded self-attention block (post-LN).  Training with attention
+    dropout uses the general masked path; inference routes through
+    ops.banded_attention, whose dispatcher picks the Pallas blockwise kernel
+    on TPU for long sequences (no [S, S] score tensor)."""
+    s = x.shape[1]
+    start, end = cfg.encoder_sub_sequence
+    if train and rate > 0:
+        blocked = padding_attn_mask(src_mask, src_mask) | banded_attn_mask(
+            s, start, end
+        )[None]
+        return multi_head_attention(p, x, x, x, blocked, cfg, rate, rngs,
+                                    train)
+
+    from pytorch_kaldi_asr_tpu.ops.banded_attention import banded_attention
+    from pytorch_kaldi_asr_tpu.models.common import layer_norm
+
+    b = x.shape[0]
+    h = p["w_qs"].shape[0]
+    d_model = x.shape[-1]
+    qs = jnp.einsum("bld,hdk->bhlk", x, p["w_qs"]).reshape(b * h, s, -1)
+    ks = jnp.einsum("bld,hdk->bhlk", x, p["w_ks"]).reshape(b * h, s, -1)
+    vs = jnp.einsum("bld,hdv->bhlv", x, p["w_vs"]).reshape(b * h, s, -1)
+    key_valid = jnp.repeat(src_mask.astype(jnp.int32), h, axis=0)
+    out = banded_attention(
+        qs, ks, vs, key_valid, start=start, end=end,
+        scale=1.0 / float(d_model) ** 0.5,
+    )
+    out = out.reshape(b, h, s, -1).transpose(0, 2, 1, 3).reshape(b, s, -1)
+    out = out @ p["proj"]["w"] + p["proj"]["b"]
+    out = out + x
+    return layer_norm(out, p["ln"]["gamma"], p["ln"]["beta"],
+                      skip_len1=cfg.ln_skip_len1)
+
+
 def banded_encode(params, cfg, src_seq, src_mask, *, train=False, rng=None):
     rngs = _Rngs(rng)
     s = src_seq.shape[1]
@@ -75,13 +110,9 @@ def banded_encode(params, cfg, src_seq, src_mask, *, train=False, rng=None):
     x = x.astype(jnp.float32) + pos[None]
     x = dropout(x, cfg.en_dropout, rngs.next(), train)
 
-    start, end = cfg.encoder_sub_sequence
-    blocked = padding_attn_mask(src_mask, src_mask) | banded_attn_mask(
-        s, start, end
-    )[None]
     for layer in params["layers"]:
-        x = multi_head_attention(
-            layer["slf"], x, x, x, blocked, cfg, cfg.en_dropout, rngs, train
+        x = _banded_self_attention(
+            layer["slf"], x, src_mask, cfg, cfg.en_dropout, rngs, train
         )
         x = feed_forward(layer["ffn"], x, cfg, cfg.en_dropout, rngs, train)
 

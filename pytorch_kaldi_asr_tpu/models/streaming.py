@@ -33,10 +33,13 @@ from pytorch_kaldi_asr_tpu.models.transformer import (
 
 def receptive_field(cfg):
     """(left, right) context frames the tdnn/tdnnf encoders need per output
-    frame (the lda splice plus every tdnn context, reference
-    initialize_model.py:48-53)."""
-    left = -min(min(cfg.lda_context), 0)
-    right = max(max(cfg.lda_context), 0)
+    frame (every tdnn context, plus the lda splice for the flagship tdnn
+    encoder only — the tdnnf encoder has no lda splice)."""
+    if cfg.encoder_type == "tdnn":
+        left = -min(min(cfg.lda_context), 0)
+        right = max(max(cfg.lda_context), 0)
+    else:
+        left = right = 0
     for ctx in cfg.tdnn_contexts:
         left += -min(min(ctx), 0)
         right += max(max(ctx), 0)

@@ -42,9 +42,9 @@ from pytorch_kaldi_asr_tpu.models.common import (
     dropout,
     fold_seq_and_mask,
     layer_norm,
+    masked_softmax,
     padding_attn_mask,
     position_encoding_table,
-    splice_frames,
     xavier_normal,
 )
 
@@ -155,10 +155,10 @@ def init_transformer(rng, cfg: TransformerConfig, lda_mat=None):
         from pytorch_kaldi_asr_tpu.models.encoders import ENCODER_INITS
 
         enc_rng, dec_rng = jax.random.split(rng)
-        encoder = ENCODER_INITS[cfg.encoder_type](enc_rng, cfg)
-        dummy = init_transformer(dec_rng, cfg.replace(encoder_type="tdnn"),
-                                 lda_mat)
-        return {"encoder": encoder, "decoder": dummy["decoder"]}
+        return {
+            "encoder": ENCODER_INITS[cfg.encoder_type](enc_rng, cfg),
+            "decoder": _init_decoder(dec_rng, cfg),
+        }
 
     spliced_dim = cfg.src_dim * cfg.src_fold * len(cfg.lda_context)
     if lda_mat is None:
@@ -170,8 +170,9 @@ def init_transformer(rng, cfg: TransformerConfig, lda_mat=None):
         lda_b = jnp.asarray(lda_mat[:, -1])
     lda_out_dim = lda_w.shape[1]
 
-    n_rngs = 2 + len(cfg.tdnn_contexts) + 3 + cfg.de_layers * 3
-    keys = iter(jax.random.split(rng, n_rngs))
+    enc_rng, dec_rng = jax.random.split(rng)
+    n_rngs = 1 + len(cfg.tdnn_contexts)
+    keys = iter(jax.random.split(enc_rng, n_rngs))
 
     encoder = {
         "lda": {"w": lda_w, "b": lda_b},  # frozen (see train.param_labels)
@@ -190,9 +191,15 @@ def init_transformer(rng, cfg: TransformerConfig, lda_mat=None):
             }
         )
 
-    embed = xavier_normal(  # torch nn.Embedding default init is N(0,1); we
-        next(keys), (cfg.vocab_size, cfg.de_d_model), cfg.vocab_size, cfg.de_d_model
-    )
+    return {"encoder": encoder, "decoder": _init_decoder(dec_rng, cfg)}
+
+
+def _init_decoder(rng, cfg: TransformerConfig):
+    """Decoder parameter subtree (shared by every encoder family)."""
+    keys = iter(jax.random.split(rng, 3 + cfg.de_layers * 3))
+    # nn.Embedding's default init is N(0,1) (what the reference trains from);
+    # match it so from-scratch dynamics are comparable
+    embed = jax.random.normal(next(keys), (cfg.vocab_size, cfg.de_d_model))
     embed = embed.at[0].set(0.0)  # padding_idx=0 row is zero
     decoder = {
         "embed": embed,
@@ -209,12 +216,14 @@ def init_transformer(rng, cfg: TransformerConfig, lda_mat=None):
     for _ in range(cfg.de_layers):
         decoder["layers"].append(
             {
-                "slf": _init_mha(next(keys), cfg.de_d_model, cfg.n_head, cfg.d_k, cfg.d_v),
-                "enc": _init_mha(next(keys), cfg.de_d_model, cfg.n_head, cfg.d_k, cfg.d_v),
+                "slf": _init_mha(next(keys), cfg.de_d_model, cfg.n_head,
+                                 cfg.d_k, cfg.d_v),
+                "enc": _init_mha(next(keys), cfg.de_d_model, cfg.n_head,
+                                 cfg.d_k, cfg.d_v),
                 "ffn": _init_ffn(next(keys), cfg.de_d_model, cfg.de_d_model),
             }
         )
-    return {"encoder": encoder, "decoder": decoder}
+    return decoder
 
 
 # ---------------------------------------------------------------------------
@@ -222,18 +231,6 @@ def init_transformer(rng, cfg: TransformerConfig, lda_mat=None):
 # ---------------------------------------------------------------------------
 
 
-def _masked_softmax(logits, blocked):
-    """Exact softmax over unblocked keys; fully-blocked rows → all zeros
-    (the reference's masked_fill(-inf) → softmax → re-zero, Modules.py:86-90,
-    without NaNs)."""
-    neg_inf = jnp.array(-jnp.inf, dtype=logits.dtype)
-    logits = jnp.where(blocked, neg_inf, logits)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    m = jnp.where(jnp.isfinite(m), m, 0.0)
-    e = jnp.exp(logits - m)
-    s = jnp.sum(e, axis=-1, keepdims=True)
-    attn = e / jnp.where(s == 0.0, 1.0, s)
-    return jnp.where(blocked, 0.0, attn)
 
 
 def multi_head_attention(p, q, k, v, blocked, cfg, rate, rngs, train):
@@ -250,7 +247,7 @@ def multi_head_attention(p, q, k, v, blocked, cfg, rate, rngs, train):
     logits = jnp.einsum("bhqk,bhlk->bhql", qs, ks) / jnp.sqrt(
         jnp.array(scale, dtype=dtype)
     )
-    attn = _masked_softmax(logits.astype(jnp.float32), blocked[:, None, :, :])
+    attn = masked_softmax(logits.astype(jnp.float32), blocked[:, None, :, :])
     attn = dropout(attn, rate, rngs.next(), train)
     out = jnp.einsum("bhql,bhlv->bhqv", attn.astype(dtype), vs)
     b, h, lq, dv = out.shape

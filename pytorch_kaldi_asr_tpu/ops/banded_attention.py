@@ -32,7 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def banded_attention_reference(q, k, v, key_valid, start, end, scale):
-    """Pure-XLA oracle: full scores + mask (reference semantics)."""
+    """Pure-XLA oracle: full scores + mask (reference semantics; shares
+    models.common.masked_softmax with the transformer paths)."""
+    from pytorch_kaldi_asr_tpu.models.common import masked_softmax
+
     s = q.shape[1]
     logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale
     qpos = jnp.arange(s)[:, None]
@@ -40,14 +43,7 @@ def banded_attention_reference(q, k, v, key_valid, start, end, scale):
     rel = kpos - qpos
     band = (rel >= start) & (rel <= end)
     mask = band[None, :, :] & (key_valid[:, None, :] > 0)
-    neg_inf = jnp.array(-jnp.inf, logits.dtype)
-    logits = jnp.where(mask, logits, neg_inf)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    m = jnp.where(jnp.isfinite(m), m, 0.0)
-    e = jnp.exp(logits - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / jnp.where(denom == 0, 1.0, denom)
-    p = jnp.where(mask, p, 0.0)
+    p = masked_softmax(logits, ~mask)
     return jnp.einsum("bqk,bkd->bqd", p, v)
 
 

@@ -53,8 +53,10 @@ def spec_augment(rng, feats, feat_mask, *, n_freq_masks=2, freq_width=15,
         width = jax.random.randint(k1, (b,), 0, 10**6) % jnp.maximum(
             max_w + 1, 1
         )
+        # start ∈ [0, length - width] inclusive, so the final frame can be
+        # covered (span end == length)
         start = jax.random.randint(k2, (b,), 0, 10**6) % jnp.maximum(
-            lengths - width, 1
+            lengths - width + 1, 1
         )
         idx = jnp.arange(t)[None, :]
         span = (idx >= start[:, None]) & (idx < (start + width)[:, None])

@@ -202,3 +202,46 @@ def test_am_trains_and_writes_posteriors(tmp_path):
     assert mats["u0"].shape == (16, n_targets)
     # rows are log-probabilities
     np.testing.assert_allclose(np.exp(mats["u0"]).sum(-1), 1.0, atol=1e-4)
+
+
+def test_banded_encoder_inference_path_matches_training_math():
+    """The inference route through ops.banded_attention must equal the
+    masked multi_head_attention path (same params, dropout off)."""
+    from pytorch_kaldi_asr_tpu.models.common import (
+        banded_attn_mask,
+        padding_attn_mask,
+    )
+    from pytorch_kaldi_asr_tpu.models.encoders import banded_encode
+    from pytorch_kaldi_asr_tpu.models.transformer import (
+        _Rngs,
+        feed_forward,
+        multi_head_attention,
+    )
+    from pytorch_kaldi_asr_tpu.models.common import (
+        dropout,
+        position_encoding_table,
+    )
+
+    cfg = _cfg("banded", en_dropout=0.0)
+    params = init_transformer(jax.random.PRNGKey(31), cfg)
+    src, mask = _batch(cfg)
+
+    got, _ = encode(params, cfg, src, mask)
+
+    # masked-path oracle (what training uses)
+    p = params["encoder"]
+    s = src.shape[1]
+    pos = position_encoding_table(cfg.encoder_max_len, cfg.en_d_model)[:s]
+    x = src @ p["src_proj"]["w"] + 0.0
+    x = x + pos[None]
+    start, end = cfg.encoder_sub_sequence
+    blocked = padding_attn_mask(mask, mask) | banded_attn_mask(
+        s, start, end
+    )[None]
+    rngs = _Rngs(None)
+    for layer in p["layers"]:
+        x = multi_head_attention(layer["slf"], x, x, x, blocked, cfg, 0.0,
+                                 rngs, False)
+        x = feed_forward(layer["ffn"], x, cfg, 0.0, rngs, False)
+    x = x + pos[None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x), atol=2e-5)
