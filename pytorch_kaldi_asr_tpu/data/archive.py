@@ -134,11 +134,7 @@ class ArchiveBatchLoader:
                                   self.batch_size)
             tail = n - n_full * self.batch_size
             if tail:
-                carry = tuple(
-                    a[n_full * self.batch_size :] if not isinstance(a, list)
-                    else a[n_full * self.batch_size :]
-                    for a in arrays
-                )
+                carry = tuple(a[n_full * self.batch_size :] for a in arrays)
         if carry is not None and self.mode == "all":
             n = len(carry[0])
             reps = -(-self.batch_size // n)

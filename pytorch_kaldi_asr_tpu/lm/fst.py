@@ -37,8 +37,13 @@ def arpa_to_fst_text(lm: NgramLM, symbols, path, *, disambig_symbol="#0",
         return states[hist]
 
     # every context that has continuations or a backoff weight is a state
+    # (contexts with an implicit bow of 1 — legal ARPA — still need states,
+    # otherwise their continuations become unreachable)
     for gram in lm.backoff:
         state_of(gram)
+    for gram in lm.logprob:
+        if len(gram) > 1:
+            state_of(gram[:-1])
 
     arcs = []
     finals = {}  # </s> probabilities become weighted final states
@@ -97,42 +102,54 @@ def arpa_to_fst_text(lm: NgramLM, symbols, path, *, disambig_symbol="#0",
 def make_lexicon_fst_text(lexicon, symbols_words, symbols_phones, path, *,
                           sil_phone=None, sil_prob=0.5,
                           eps_id=0):
-    """L FST: phones in, words out (utils/make_lexicon_fst.pl role).
+    """L FST: phones in, words out (utils/make_lexicon_fst.pl construction).
 
     lexicon: {word: [phone, ...]} or {word: [(pron_prob, [phones]), ...]}.
-    Optional inter-word silence with probability ``sil_prob``."""
+    With silence: Kaldi's three-state scheme — start(0) offers initial
+    silence or not; each word's final phone goes to loop(1) with nosil cost
+    OR to sil(2) with sil cost; sil(2) emits the silence phone back to loop.
+    Exactly ONE of {sil, nosil} is charged per word boundary."""
     lines = []
-    loop = 0  # loop state
-    next_state = 1
-    sil_state = None
     if sil_phone is not None:
-        sil_state = next_state
-        next_state += 1
+        start, loop, sil_state = 0, 1, 2
+        next_state = 3
         sil_cost = -math.log(max(sil_prob, 1e-10))
         nosil_cost = -math.log(max(1.0 - sil_prob, 1e-10))
-        lines.append((loop, sil_state, symbols_phones[sil_phone], eps_id,
+        lines.append((start, loop, eps_id, eps_id, nosil_cost))
+        lines.append((start, loop, symbols_phones[sil_phone], eps_id,
                       sil_cost))
-        lines.append((sil_state, loop, eps_id, eps_id, 0.0))
+        lines.append((sil_state, loop, symbols_phones[sil_phone], eps_id,
+                      0.0))
     else:
-        nosil_cost = 0.0
+        start = loop = 0
+        sil_state = None
+        next_state = 1
+        sil_cost = nosil_cost = 0.0
 
     for word, prons in lexicon.items():
         if prons and not isinstance(prons[0], (list, tuple)):
             prons = [(1.0, list(prons))]
         for prob, phones in prons:
-            cost = -math.log(max(float(prob), 1e-10))
+            pron_cost = -math.log(max(float(prob), 1e-10))
             cur = loop
             for i, phone in enumerate(phones):
                 olabel = symbols_words[word] if i == 0 else eps_id
-                arc_cost = cost + (nosil_cost if i == 0 else 0.0)
-                if i == len(phones) - 1:
-                    dst = loop
+                arc_cost = pron_cost if i == 0 else 0.0
+                last = i == len(phones) - 1
+                if last and sil_state is not None:
+                    # word end: either straight back to loop (no silence)
+                    # or into the silence state
+                    lines.append((cur, loop, symbols_phones[phone], olabel,
+                                  arc_cost + nosil_cost))
+                    lines.append((cur, sil_state, symbols_phones[phone],
+                                  olabel, arc_cost + sil_cost))
                 else:
-                    dst = next_state
-                    next_state += 1
-                lines.append((cur, dst, symbols_phones[phone], olabel,
-                              arc_cost if i == 0 else 0.0))
-                cur = dst
+                    dst = loop if last else next_state
+                    if not last:
+                        next_state += 1
+                    lines.append((cur, dst, symbols_phones[phone], olabel,
+                                  arc_cost))
+                    cur = dst
 
     with open(path, "w", encoding="utf-8") as f:
         for src, dst, il, ol, cost in lines:

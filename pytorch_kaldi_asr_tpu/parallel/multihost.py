@@ -59,12 +59,22 @@ def _env_int(name):
 
 
 def shard_for_process(items, process_index=None, process_count=None):
-    """Deterministic per-host slice of a work list (each host feeds its own
-    local devices; batch order must match across hosts for pjit)."""
+    """Deterministic per-host slice of a work list, truncated to a common
+    length: every host MUST execute the same number of jitted steps (a host
+    with one extra batch would enter a collective the others never reach and
+    deadlock the slice), so the ragged remainder is dropped."""
     import jax
 
     if process_index is None:
         process_index = jax.process_index()
     if process_count is None:
         process_count = jax.process_count()
-    return items[process_index::process_count]
+    per_host = len(items) // process_count
+    dropped = len(items) - per_host * process_count
+    if dropped:
+        info(
+            "shard_for_process: dropping %d ragged items so all %d hosts "
+            "run equal step counts", dropped, process_count,
+        )
+    start = process_index * per_host
+    return items[start : start + per_host]

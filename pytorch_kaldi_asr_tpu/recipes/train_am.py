@@ -49,6 +49,15 @@ def train_am(data_dir, dev_dir, save_dir, *, encoder_type="tdnnf",
         n_targets = 1 + max(
             int(l.max()) for l in loader.labels
         )
+    # dev ids beyond the head would be silently clamped by the gather in
+    # frame_ce_loss — validate both splits up front
+    for name, ld in (("train", loader), ("dev", dev_loader)):
+        top = max(int(l.max()) for l in ld.labels)
+        if top >= n_targets:
+            raise ValueError(
+                f"{name} alignments contain id {top} >= n_targets "
+                f"{n_targets}; pass the true inventory size via -n_targets"
+            )
     cfg = TransformerConfig(
         src_dim=loader.feat_dim,
         vocab_size=n_targets,  # unused by the AM head, kept coherent
@@ -125,6 +134,10 @@ def main(argv=None):
     parser.add_argument("-read_dev_dir", required=True)
     parser.add_argument("-save_model_dir", required=True)
     parser.add_argument("-encoder_type", default="tdnnf")
+    parser.add_argument("-n_targets", type=int, default=None,
+                        help="posterior inventory size (default: inferred "
+                             "from the train alignments — pass the true pdf "
+                             "count when rare classes may be absent)")
     parser.add_argument("-epoch", type=int, default=10)
     parser.add_argument("-batch_size", type=int, default=16)
     parser.add_argument("-en_d_model", type=int, default=256)
@@ -134,8 +147,8 @@ def main(argv=None):
     procedure("hybrid AM training")
     train_am(
         opt.read_train_dir, opt.read_dev_dir, opt.save_model_dir,
-        encoder_type=opt.encoder_type, epochs=opt.epoch,
-        batch_size=opt.batch_size, lr=opt.optim_start_lr,
+        encoder_type=opt.encoder_type, n_targets=opt.n_targets,
+        epochs=opt.epoch, batch_size=opt.batch_size, lr=opt.optim_start_lr,
         en_d_model=opt.en_d_model,
     )
     return 0

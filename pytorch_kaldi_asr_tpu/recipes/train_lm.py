@@ -11,9 +11,12 @@ from pytorch_kaldi_asr_tpu.utils.logging import info
 def sentences_from_text_table(path, drop_keys=True):
     """Read transcript sentences.  drop_keys mirrors the recipe's
     ``cut -d' ' -f2-`` (run.sh:58): the first column is the utterance key."""
+    import contextlib
+
     sentences = []
-    stream = sys.stdin if path == "-" else open(path, encoding="utf-8")
-    with stream if path != "-" else stream as f:
+    ctx = (contextlib.nullcontext(sys.stdin) if path == "-"
+           else open(path, encoding="utf-8"))
+    with ctx as f:
         for line in f:
             words = line.split()
             if not words:

@@ -18,6 +18,7 @@ from pytorch_kaldi_asr_tpu.tools.cmvn import compute_cmvn_stats
 def main(argv=None):
     argv = list(argv or sys.argv[1:])
     utt2spk = None
+    tmp_to_delete = None
     rest = []
     for a in argv:
         if a.startswith("--utt2spk="):
@@ -42,6 +43,7 @@ def main(argv=None):
                 tmp.write(f"{utt} {spk}\n")
             tmp.close()
             utt2spk = tmp.name
+            tmp_to_delete = tmp.name
         else:
             rest.append(a)
     if len(rest) != 2:
@@ -51,7 +53,13 @@ def main(argv=None):
             file=sys.stderr,
         )
         return 1
-    compute_cmvn_stats(rest[0], rest[1], utt2spk=utt2spk)
+    try:
+        compute_cmvn_stats(rest[0], rest[1], utt2spk=utt2spk)
+    finally:
+        if tmp_to_delete is not None:
+            import os
+
+            os.unlink(tmp_to_delete)
     return 0
 
 

@@ -186,13 +186,18 @@ def main(argv=None):
         print(main.__doc__, file=sys.stderr)
         return 1
     cfg = FbankConfig(**overrides)
-    _, _, wav_scp = kaldi_io.parse_specifier(rest[0])
     n = 0
+    _, _, wav_scp = kaldi_io.parse_specifier(rest[0])
     with kaldi_io.open_writer(rest[1]) as w:
         for key, rx in kaldi_io.scp_entries(wav_scp):
             samples, rate = read_wav(rx)
             if rate != cfg.sample_rate:
-                cfg = dataclasses.replace(cfg, sample_rate=rate)
+                # mixed-rate corpora would silently produce incompatible
+                # front-end geometry; hard error, like compute-fbank-feats
+                raise ValueError(
+                    f"utterance {key!r} has sample rate {rate}, expected "
+                    f"{cfg.sample_rate} (set --sample-rate)"
+                )
             w.write(key, compute_fbank(samples, cfg, kind))
             n += 1
     print(f"[INFO] extracted {kind} features for {n} utterances")

@@ -24,11 +24,9 @@ def estimate_lda(feature_label_pairs, out_dim=None, *, floor=1e-6):
     total_sum = None
     total_sq = None
     n_total = 0
-    chunks = []
     for feats, labels in feature_label_pairs:
         feats = np.asarray(feats, np.float64)
         labels = np.asarray(labels)
-        chunks.append((feats, labels))
         if total_sum is None:
             total_sum = np.zeros(feats.shape[1])
             total_sq = np.zeros((feats.shape[1], feats.shape[1]))
@@ -53,13 +51,18 @@ def estimate_lda(feature_label_pairs, out_dim=None, *, floor=1e-6):
     within = total_cov - between
     within += floor * np.trace(within) / d * np.eye(d)
 
-    # generalized eigenproblem: within^-1 @ between
-    evals, evecs = np.linalg.eigh(
-        np.linalg.solve(within, between + between.T) / 2.0
-    )
+    # generalized symmetric eigenproblem B v = λ W v via Cholesky whitening:
+    # W = L Lᵀ; eigh(L⁻¹ B L⁻ᵀ) is symmetric (np.linalg.eigh on the
+    # non-symmetric W⁻¹B would silently use one triangle and give wrong
+    # directions), then map eigenvectors back through L⁻ᵀ.
+    chol = np.linalg.cholesky(within)
+    b_sym = (between + between.T) / 2.0
+    m = np.linalg.solve(chol, np.linalg.solve(chol, b_sym).T).T
+    evals, evecs = np.linalg.eigh((m + m.T) / 2.0)
     order = np.argsort(evals)[::-1]
     out_dim = out_dim or min(len(class_sum) - 1, d)
-    w = evecs[:, order[:out_dim]].T  # [out_dim, d]
+    u = evecs[:, order[:out_dim]]
+    w = np.linalg.solve(chol.T, u).T  # [out_dim, d]
 
     # normalize rows so projected within-class covariance ≈ I (Kaldi style)
     proj_within = w @ within @ w.T

@@ -51,8 +51,9 @@ def read_wav(rxfilename):
             elif bits == 32:
                 samples = np.frombuffer(raw, "<i4").astype(np.float32)
             elif bits == 8:
+                # Kaldi convention: (x - 128), no rescaling
                 samples = (np.frombuffer(raw, np.uint8).astype(np.float32)
-                           - 128.0) * 256.0
+                           - 128.0)
             elif bits == 24:
                 b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
                 samples = (

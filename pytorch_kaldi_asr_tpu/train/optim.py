@@ -41,11 +41,13 @@ def make_optimizer(params, start_lr=0.001, soft_coefficient=25000.0,
     chain = []
     if grad_clip_norm:
         chain.append(optax.clip_by_global_norm(grad_clip_norm))
-    if weight_decay:
-        chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(
         optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
     )
+    if weight_decay:
+        # decoupled (AdamW-style) decay: applied after Adam's moment
+        # normalization, scaled by the learning-rate schedule below
+        chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(optax.scale_by_schedule(
         hyperbolic_schedule(start_lr, soft_coefficient)))
     chain.append(optax.scale(-1.0))

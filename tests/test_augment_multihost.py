@@ -70,8 +70,11 @@ def test_train_step_with_specaugment_runs():
 def test_shard_for_process():
     items = list(range(10))
     shards = [shard_for_process(items, i, 3) for i in range(3)]
-    assert sorted(sum(shards, [])) == items
-    assert shards[0] == [0, 3, 6, 9]
+    # equal lengths on every host (unequal step counts deadlock pjit);
+    # the ragged remainder is dropped
+    assert [len(s) for s in shards] == [3, 3, 3]
+    assert sorted(sum(shards, [])) == items[:9]
+    assert shards[0] == [0, 1, 2]
 
 
 def test_launcher_retries(tmp_path):
