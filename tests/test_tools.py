@@ -231,3 +231,26 @@ def test_ark_writer_text_mode(tmp_path):
         w.write("u1", mat)
     got = dict(kaldi_io.read_mat_ark(str(path)))["u1"]
     np.testing.assert_allclose(got, mat)
+
+
+def test_copy_feats_roundtrip(tmp_path):
+    from pytorch_kaldi_asr_tpu.tools.copy_feats import copy_feats
+
+    rng = np.random.default_rng(11)
+    mats = {f"u{i}": rng.normal(size=(4, 3)).astype(np.float32)
+            for i in range(3)}
+    with kaldi_io.ArkWriter(str(tmp_path / "a.ark"),
+                            str(tmp_path / "a.scp")) as w:
+        for k, m in mats.items():
+            w.write(k, m)
+    n = copy_feats(f"scp:{tmp_path}/a.scp",
+                   f"ark,scp:{tmp_path}/b.ark,{tmp_path}/b.scp")
+    assert n == 3
+    got = dict(kaldi_io.read_mat_scp(f"{tmp_path}/b.scp"))
+    for k in mats:
+        np.testing.assert_array_equal(got[k], mats[k])
+    # binary -> text -> read back
+    copy_feats(f"ark:{tmp_path}/b.ark", f"ark,t:{tmp_path}/t.ark")
+    got_t = dict(kaldi_io.read_mat_ark(f"{tmp_path}/t.ark"))
+    for k in mats:
+        np.testing.assert_allclose(got_t[k], mats[k], rtol=1e-5)
