@@ -74,10 +74,10 @@ def measure_jax(steps=30, warmup=3):
     for _ in range(warmup):
         state, m = train_step(state, src, src_mask, tgt, tgt_mask)
     float(m["loss"])  # sync
+    float(jnp.zeros((), jnp.float32))  # warm the zeros kernel (compile)
 
     t0 = time.perf_counter()
-    zero = jnp.zeros((), jnp.float32)
-    rtt = float(zero)  # noqa: F841 — one round-trip baseline
+    rtt = float(jnp.zeros((), jnp.float32))  # noqa: F841 — round-trip only
     t_rtt = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -100,7 +100,10 @@ def measure_torch_baseline(steps=2, warmup=1, batch=10):
     sys.path.insert(0, REPO)
     from tests import torch_ref
 
-    cfg, params, (src, src_mask, tgt, tgt_mask) = _flagship_setup()
+    # the torch oracle implements the TDNN flagship only; the baseline is
+    # always that model regardless of BENCH_MODEL (vs_baseline for other
+    # encoders reads "x times the flagship torch-CPU step")
+    cfg, params, (src, src_mask, tgt, tgt_mask) = _flagship_setup("tdnn")
     cfg = cfg.replace(compute_dtype=np.float32)
     src, src_mask = src[:batch], src_mask[:batch]
     tgt, tgt_mask = tgt[:batch], tgt_mask[:batch]
@@ -151,8 +154,9 @@ def get_baseline():
         json.dump(
             {
                 "train_frames_per_sec_torch_cpu": value,
-                "note": "torch-CPU training step, same model semantics "
-                        "(tests/torch_ref.py), batch 100 x 504 frames",
+                "note": "torch-CPU training step of the TDNN flagship, same "
+                        "model semantics (tests/torch_ref.py), measured at "
+                        "batch 10 x 500 frames, reported as frames/sec",
             },
             f, indent=1,
         )

@@ -63,12 +63,28 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_double), ctypes.c_int,
     ]
+    lib.pka_scan_ark.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
     _lib = lib
     return lib
 
 
 def available():
     return _load() is not None
+
+
+def _require():
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native library not built — run `make -C "
+            "pytorch_kaldi_asr_tpu/native` (callers should check "
+            "native.available() and fall back to the Python path)"
+        )
+    return lib
 
 
 def _split_offset(rxfilename):
@@ -80,7 +96,7 @@ def _split_offset(rxfilename):
 
 def mat_shape(rxfilename):
     """(rows, cols) of a matrix at an rxfilename; header-only."""
-    lib = _load()
+    lib = _require()
     path, offset = _split_offset(rxfilename)
     rows = ctypes.c_int32()
     cols = ctypes.c_int32()
@@ -93,7 +109,7 @@ def mat_shape(rxfilename):
 
 def read_mat(rxfilename):
     """Matrix at an rxfilename as float32 numpy (all kinds incl CM*)."""
-    lib = _load()
+    lib = _require()
     rows, cols = mat_shape(rxfilename)
     out = np.empty((rows, cols), dtype=np.float32)
     path, offset = _split_offset(rxfilename)
@@ -108,7 +124,7 @@ def read_mat(rxfilename):
 
 def edit_distance(ref_ids, hyp_ids):
     """(errors, ins, dels, subs) over int32 token-id arrays."""
-    lib = _load()
+    lib = _require()
     ref = np.ascontiguousarray(ref_ids, dtype=np.int32)
     hyp = np.ascontiguousarray(hyp_ids, dtype=np.int32)
     err = ctypes.c_int32()
@@ -127,7 +143,7 @@ def edit_distance(ref_ids, hyp_ids):
 def cmvn_accumulate(mat, stats):
     """Accumulate a float32 [rows, cols] matrix into stats [2, cols+1]
     float64 (in place)."""
-    lib = _load()
+    lib = _require()
     mat = np.ascontiguousarray(mat, dtype=np.float32)
     assert stats.shape == (2, mat.shape[1] + 1) and stats.dtype == np.float64
     lib.pka_cmvn_accumulate(
@@ -138,9 +154,35 @@ def cmvn_accumulate(mat, stats):
     return stats
 
 
+def scan_ark(path, max_entries=4096):
+    """Header-only scan of a whole binary archive: [(key, rows, cols), ...]
+    in file order — the bulk feat-to-len path with one file open instead of
+    one per scp entry.  Grows the buffers and rescans if the archive holds
+    more than ``max_entries`` (the C call cannot distinguish a full buffer
+    from completion)."""
+    lib = _require()
+    while True:
+        keys_buf = ctypes.create_string_buffer(max_entries * 64)
+        rows = np.empty(max_entries, np.int32)
+        cols = np.empty(max_entries, np.int32)
+        count = lib.pka_scan_ark(
+            path.encode(), keys_buf, len(keys_buf),
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_entries,
+        )
+        if count < 0:
+            raise IOError(f"native scan_ark failed for {path}")
+        if count < max_entries:
+            break
+        max_entries *= 4  # buffer may have been exactly full — rescan
+    keys = keys_buf.value.decode("utf-8").splitlines()
+    return [(k, int(rows[i]), int(cols[i])) for i, k in enumerate(keys[:count])]
+
+
 def cmvn_apply(mat, stats, norm_vars=False):
     """Normalized copy of a float32 matrix."""
-    lib = _load()
+    lib = _require()
     out = np.ascontiguousarray(mat, dtype=np.float32).copy()
     stats = np.ascontiguousarray(stats, dtype=np.float64)
     rc = lib.pka_cmvn_apply(

@@ -54,6 +54,10 @@ int feat_to_len_main(int argc, char** argv) {
     return 1;
   }
   std::ofstream os(out);
+  if (!os) {
+    std::cerr << "cannot open output " << out << "\n";
+    return 1;
+  }
   std::string key, rx;
   while (in >> key >> rx) {
     std::string path;
@@ -66,6 +70,11 @@ int feat_to_len_main(int argc, char** argv) {
       return 1;
     }
     os << key << " " << rows << "\n";
+  }
+  os.flush();
+  if (!os) {
+    std::cerr << "write to " << out << " failed\n";
+    return 1;
   }
   return 0;
 }

@@ -26,14 +26,23 @@ from pytorch_kaldi_asr_tpu.utils.logging import info, procedure
 
 
 def am_batch_loader(data_dir, batch_size, mode="drop", **kw):
-    """Loader whose targets are per-frame alignment ids (padded with 0)."""
+    """Loader whose targets are per-frame alignment ids (padded with 0).
+    Alignment length must equal the utterance's frame count — a mismatch
+    would silently score real frames against the PAD fill."""
     feats = dict(kaldi_io.scp_entries(os.path.join(data_dir, "feats.scp")))
     ali = kaldi_io.read_key_value_text(os.path.join(data_dir, "ali.txt"))
     triples = []
     for key, rx in feats.items():
-        if key in ali:
-            ids = np.array([int(a) for a in ali[key].split()], np.int32)
-            triples.append((key, rx, ids))
+        if key not in ali:
+            continue
+        ids = np.array([int(a) for a in ali[key].split()], np.int32)
+        n_frames = kaldi_io.mat_num_rows(rx)
+        if len(ids) != n_frames:
+            raise ValueError(
+                f"utterance {key!r}: {len(ids)} alignment ids vs "
+                f"{n_frames} feature frames (subsampled alignments?)"
+            )
+        triples.append((key, rx, ids))
     info("matched %d utterances with alignments in %s", len(triples),
          data_dir)
     return BatchLoader(triples, batch_size, mode=mode, **kw)

@@ -21,13 +21,24 @@ def read_nbest(decode_file, lm_score_file=None):
     if lm_score_file is not None:
         with open(lm_score_file, encoding="utf-8") as f:
             lm_lines = [float(line.strip()) for line in f if line.strip()]
+    n_hyps = 0
     with open(decode_file, encoding="utf-8") as f:
-        for i, line in enumerate(f):
+        for line in f:
+            if not line.strip():
+                continue  # blank lines are skipped by the LM scorer too
             key, am, text = line.rstrip("\n").split("\t")
             entry = table.setdefault(key, ([], [], []))
             entry[0].append(float(am))
-            entry[1].append(lm_lines[i] if lm_lines is not None else 0.0)
+            entry[1].append(
+                lm_lines[n_hyps] if lm_lines is not None else 0.0
+            )
             entry[2].append(text.strip())
+            n_hyps += 1
+    if lm_lines is not None and len(lm_lines) != n_hyps:
+        raise ValueError(
+            f"{lm_score_file} has {len(lm_lines)} scores but "
+            f"{decode_file} has {n_hyps} hypotheses"
+        )
     return table
 
 

@@ -21,9 +21,21 @@ def feat_to_len(rspecifier, wspecifier=None):
             for key, rx in kaldi_io.scp_entries(path)
         }
     else:
-        lengths = {
-            key: mat.shape[0] for key, mat in kaldi_io.read_mat_ark(path)
-        }
+        lengths = None
+        try:  # bulk header-only C++ scan: one open, no matrix decode
+            from pytorch_kaldi_asr_tpu import native
+
+            if native.available() and not path.endswith("|") and path != "-":
+                lengths = {
+                    key: rows for key, rows, _cols in native.scan_ark(path)
+                }
+        except Exception:
+            lengths = None
+        if lengths is None:
+            lengths = {
+                key: mat.shape[0]
+                for key, mat in kaldi_io.read_mat_ark(path)
+            }
     if wspecifier is None:
         return lengths
     _, opts, out_path = kaldi_io.parse_specifier(wspecifier)

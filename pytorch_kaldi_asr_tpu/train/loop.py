@@ -196,20 +196,26 @@ def train_model(
     return best_params, best_epoch, best_accu
 
 
-def combine_checkpoints(save_model_dir, best_epoch, cfg, eval_loader, *,
-                        num_model=30, mesh=None):
+def combine_checkpoints(save_model_dir, best_epoch=None, cfg=None,
+                        eval_loader=None, *, num_model=30, mesh=None,
+                        paths=None):
     """Progressive checkpoint averaging ("combine", train.py:284-322):
-    average epochs ``best_epoch, best_epoch-1, ...``, evaluating each prefix
-    average on ``eval_loader`` and keeping the best.  Saves
-    ``combined.accuXX`` and returns (params, accu, path)."""
+    average epochs ``best_epoch, best_epoch-1, ...`` (or an explicit
+    ``paths`` list, best first — the standalone combine.py contract),
+    evaluating each prefix average on ``eval_loader`` and keeping the best.
+    Saves ``combined.accuXX`` under ``save_model_dir`` and returns
+    (params, accu, path)."""
     procedure("combining model with model averaging...")
     eval_step = make_eval_step(cfg, mesh=mesh)
 
-    candidates = []
-    for e in range(best_epoch, max(best_epoch - num_model, 0), -1):
-        path = os.path.join(save_model_dir, f"epoch.{e}")
-        if os.path.isdir(path):
-            candidates.append(path)
+    if paths is not None:
+        candidates = list(paths)
+    else:
+        candidates = []
+        for e in range(best_epoch, max(best_epoch - num_model, 0), -1):
+            path = os.path.join(save_model_dir, f"epoch.{e}")
+            if os.path.isdir(path):
+                candidates.append(path)
     if not candidates:
         raise FileNotFoundError(
             f"no epoch.* checkpoints under {save_model_dir}"

@@ -11,7 +11,14 @@ config=
 
 while true; do
   case "$1" in
+    --)  # end-of-options terminator
+      shift; break
+      ;;
     --*)
+      if [ $# -lt 2 ]; then
+        echo "parse_options.sh: option $1 requires a value" 1>&2
+        exit 1
+      fi
       name=$(echo "$1" | sed 's/^--//; s/-/_/g')
       if [ "$name" = "config" ]; then
         config="$2"; shift 2

@@ -144,9 +144,11 @@ fi
 
 #------------------------------------------------------------
 if [ $stage -le 5 ]; then
-    model_file=$(ls -d ${model_dir}/combined* | head -1)
-    if [ ! -d "${model_file}" ]; then
-        echo "${model_file} is not a checkpoint dir."
+    # highest-accuracy combined checkpoint (sort -V orders accu49 < accu51);
+    # guard against ls failing under set -e when none exists
+    model_file=$(ls -d ${model_dir}/combined* 2>/dev/null | sort -V | tail -1 || true)
+    if [ -z "${model_file}" ] || [ ! -d "${model_file}" ]; then
+        echo "no combined checkpoint dir under ${model_dir}."
         exit 1
     fi
 

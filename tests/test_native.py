@@ -116,3 +116,36 @@ def test_cli_compute_wer(tmp_path):
     )
     assert "%WER 25.00 [ 1 / 4, 0 ins, 0 del, 1 sub ]" in proc.stdout
     assert "1 sentences failed to be scored" in proc.stdout
+
+
+def test_scan_ark_bulk(tmp_path):
+    rng = np.random.default_rng(3)
+    mats = {f"utt{i:03d}": rng.normal(size=(int(rng.integers(2, 9)), 4)
+                                      ).astype(np.float32)
+            for i in range(7)}
+    ark = tmp_path / "s.ark"
+    with kaldi_io.ArkWriter(str(ark)) as w:
+        for k, m in mats.items():
+            w.write(k, m)
+    entries = native.scan_ark(str(ark))
+    assert [k for k, _, _ in entries] == list(mats)
+    for k, rows, cols in entries:
+        assert (rows, cols) == mats[k].shape
+    # buffer-growth path: force a tiny initial max_entries
+    entries2 = native.scan_ark(str(ark), max_entries=2)
+    assert entries2 == entries
+
+
+def test_cli_feat_to_len_bad_output_path(tmp_path):
+    mats = {"a": np.zeros((2, 2), np.float32)}
+    ark, scp = tmp_path / "f.ark", tmp_path / "f.scp"
+    with kaldi_io.ArkWriter(str(ark), str(scp)) as w:
+        for k, m in mats.items():
+            w.write(k, m)
+    binary = os.path.join(NATIVE_DIR, "build", "pka-feat-to-len")
+    proc = subprocess.run(
+        [binary, f"scp:{scp}", f"ark,t:{tmp_path}/no_dir/out.length"],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode != 0
+    assert "cannot open output" in proc.stderr
