@@ -28,6 +28,9 @@ def main(argv=None):
     parser.add_argument("-optim_start_lr", type=float, default=0.001)
     parser.add_argument("-optim_soft_coefficient", type=float, default=1000)
     parser.add_argument("-batch_size", type=int, default=64)
+    parser.add_argument("-num_buckets", type=int, default=1,
+                        help="length buckets (>1 reduces padding waste at "
+                             "the cost of one compiled shape per bucket)")
     parser.add_argument("-label_smoothing", action="store_true")
     parser.add_argument("-save_interval", type=int, default=10)
     parser.add_argument("-resume", action="store_true",
@@ -46,7 +49,8 @@ def main(argv=None):
 
     info("reading training data...")
     train_loader = make_batch_loader(opt.read_train_dir, vocab,
-                                     opt.batch_size, mode="drop")
+                                     opt.batch_size, mode="drop",
+                                     num_buckets=opt.num_buckets)
     info("reading dev data...")
     dev_loader = make_batch_loader(opt.read_dev_dir, vocab, opt.batch_size,
                                    mode="all")
