@@ -489,6 +489,23 @@ def _matrix_binary_bytes(mat):
     return b"".join(out)
 
 
+def _compressed_matrix_bytes(mat):
+    """Kaldi CM2 encoding (two-byte codes with a global min/range): the
+    simple compressed format, ~2x smaller feature arks, max quantization
+    error range/65535."""
+    mat = np.asarray(mat, dtype=np.float32)
+    mn = float(mat.min()) if mat.size else 0.0
+    mx = float(mat.max()) if mat.size else 0.0
+    rg = max(mx - mn, 1e-10)
+    codes = np.round((mat - mn) / rg * 65535.0).astype("<u2")
+    return (
+        b"CM2 "
+        + struct.pack("<ff", mn, rg)
+        + struct.pack("<ii", mat.shape[0], mat.shape[1])
+        + codes.tobytes()
+    )
+
+
 def _vector_binary_bytes(vec):
     vec = np.asarray(vec)
     if vec.dtype == np.float64:
@@ -509,11 +526,12 @@ class ArkWriter:
             w.write("utt1", mat1)
     """
 
-    def __init__(self, ark_path, scp_path=None, text=False):
+    def __init__(self, ark_path, scp_path=None, text=False, compress=False):
         self.ark_path = os.path.abspath(ark_path)
         self._ark = open(ark_path, "wb")
         self._scp = open(scp_path, "w", encoding="utf-8") if scp_path else None
         self.text = text
+        self.compress = compress  # write 2-D float data as Kaldi CM2
 
     def write(self, key, mat):
         self._ark.write(key.encode("utf-8") + b" ")
@@ -528,7 +546,10 @@ class ArkWriter:
             self._ark.write(b"\x00B")
             mat = np.asarray(mat)
             if mat.ndim == 2:
-                self._ark.write(_matrix_binary_bytes(mat))
+                if self.compress:
+                    self._ark.write(_compressed_matrix_bytes(mat))
+                else:
+                    self._ark.write(_matrix_binary_bytes(mat))
             elif mat.ndim == 1:
                 self._ark.write(_vector_binary_bytes(mat))
             else:

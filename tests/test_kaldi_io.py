@@ -170,3 +170,23 @@ def test_pipe_rxfilename(tmp_path):
         w.write("u", mat)
     got = dict(kaldi_io.read_mat_ark(f"cat {ark} |"))["u"]
     np.testing.assert_array_equal(got, mat)
+
+
+def test_compressed_writer_roundtrip(tmp_path):
+    rng = np.random.default_rng(9)
+    mat = rng.normal(scale=5.0, size=(20, 13)).astype(np.float32)
+    ark, scp = tmp_path / "c.ark", tmp_path / "c.scp"
+    with kaldi_io.ArkWriter(str(ark), str(scp), compress=True) as w:
+        w.write("u1", mat)
+    got = dict(kaldi_io.read_mat_scp(str(scp)))["u1"]
+    rg = mat.max() - mat.min()
+    assert np.abs(got - mat).max() <= rg / 65535 + 1e-6
+    # compressed ark is roughly half the float32 size
+    raw_size = mat.size * 4
+    assert ark.stat().st_size < raw_size * 0.6
+    # native reader decodes it identically
+    from pytorch_kaldi_asr_tpu import native
+
+    if native.available():
+        (key, rx), = kaldi_io.scp_entries(str(scp))
+        np.testing.assert_allclose(native.read_mat(rx), got, atol=1e-6)
