@@ -17,6 +17,9 @@ if not _logger.handlers:
     _handler.setFormatter(logging.Formatter("%(message)s"))
     _logger.addHandler(_handler)
     _logger.setLevel(logging.INFO)
+    # own handler only: with propagate=True a configured root logger would
+    # emit every [INFO]/[WARNING] line twice
+    _logger.propagate = False
 
 
 def info(msg, *args):

@@ -53,7 +53,7 @@ class MetricsLogger:
 
     def log(self, **record):
         record.setdefault("ts", time.time())
-        self._f.write(json.dumps(record) + "\n")
+        self._f.write(json.dumps(record, default=float) + "\n")
         self._f.flush()
 
     def close(self):
