@@ -148,3 +148,30 @@ def test_decode_dataset_output_format(tmp_path):
         assert key.startswith("utt")
         float(score)  # parseable
         assert len(hyp) == 1  # hypothesis text field present (may be empty)
+
+
+def test_best_path_collapse_and_fer(tmp_path):
+    from pytorch_kaldi_asr_tpu.decode.best_path import (
+        best_path,
+        decode_posterior_table,
+        frame_error_rate,
+    )
+    from pytorch_kaldi_asr_tpu.io import kaldi_io
+
+    # posteriors strongly peaked at labels 1,1,2,2,0,3
+    logp = np.log(np.full((6, 4), 0.01, np.float32))
+    for t, c in enumerate([1, 1, 2, 2, 0, 3]):
+        logp[t, c] = np.log(0.97)
+    assert best_path(logp) == [1, 2, 0, 3]
+    assert best_path(logp, blank=0) == [1, 2, 3]
+    assert best_path(logp, collapse=False) == [1, 1, 2, 2, 0, 3]
+
+    with kaldi_io.ArkWriter(str(tmp_path / "p.ark"),
+                            str(tmp_path / "p.scp")) as w:
+        w.write("u1", logp)
+    table = decode_posterior_table(f"scp:{tmp_path}/p.scp",
+                                   id2label={1: "a", 2: "b", 3: "c", 0: "x"})
+    assert table["u1"] == ["a", "b", "x", "c"]
+    fer, n = frame_error_rate(f"scp:{tmp_path}/p.scp",
+                              {"u1": "1 1 2 0 0 3"})
+    assert n == 6 and abs(fer - 1 / 6) < 1e-9  # one frame wrong
