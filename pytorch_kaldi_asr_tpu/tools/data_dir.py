@@ -79,6 +79,22 @@ def apply_map(table, mapping, permissive=False):
     return out
 
 
+def filter_text_by_vocab(table, vocab, oov_word=None):
+    """Keep only in-vocabulary words of each transcript, or replace OOVs
+    with ``oov_word`` (utils/filt.py role)."""
+    vocab = set(vocab)
+    out = {}
+    for key, text in table.items():
+        words = []
+        for w in text.split():
+            if w in vocab:
+                words.append(w)
+            elif oov_word is not None:
+                words.append(oov_word)
+        out[key] = " ".join(words)
+    return out
+
+
 def shuffle_list(items, seed=0):
     items = list(items)
     random.Random(seed).shuffle(items)

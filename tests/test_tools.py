@@ -254,3 +254,29 @@ def test_copy_feats_roundtrip(tmp_path):
     got_t = dict(kaldi_io.read_mat_ark(f"{tmp_path}/t.ark"))
     for k in mats:
         np.testing.assert_allclose(got_t[k], mats[k], rtol=1e-5)
+
+
+def test_transforms_generators():
+    from pytorch_kaldi_asr_tpu.tools.transforms import (
+        dct_matrix,
+        hamming_window,
+        splice_indices,
+    )
+
+    dct = dct_matrix(13, 23)
+    assert dct.shape == (13, 23)
+    # orthonormal rows
+    np.testing.assert_allclose(dct @ dct.T, np.eye(13), atol=1e-5)
+    win = hamming_window(400)
+    assert win.shape == (400,) and abs(win[0] - 0.08) < 1e-6
+    assert splice_indices(2, 2) == [-2, -1, 0, 1, 2]
+    assert splice_indices(3, 3, 3) == [-3, 0, 3]
+
+
+def test_filter_text_by_vocab():
+    table = {"u1": "the cat zzz sat"}
+    out = dd.filter_text_by_vocab(table, {"the", "cat", "sat"})
+    assert out["u1"] == "the cat sat"
+    out2 = dd.filter_text_by_vocab(table, {"the", "cat", "sat"},
+                                   oov_word="<unk>")
+    assert out2["u1"] == "the cat <unk> sat"
