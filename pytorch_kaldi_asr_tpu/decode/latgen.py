@@ -1,0 +1,128 @@
+"""Frame-synchronous Viterbi beam decoding over a compiled (H)LG graph.
+
+The latgen role for the hybrid-AM path: consumes per-frame phone
+log-posteriors (recipes/dump_posteriors.py output), walks the
+self-loop-expanded graph from fst.graph.mkgraph, and returns the best word
+sequence (plus the frame-level phone alignment).  Completes the
+posterior-dump -> graph-decode -> WER pipeline the reference vendors via
+Kaldi's decoder binaries but never exercises for TIMIT
+(reference kaldi/utils/mkgraph.sh produces the graph; decoding happens in
+external Kaldi C++).
+
+Acoustic costs follow the hybrid convention: cost(frame, phone) =
+-acoustic_scale * (log p(phone|frame) - log prior(phone)); priors turn
+posteriors into pseudo-likelihoods (see tools/compute_priors.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pytorch_kaldi_asr_tpu.fst.core import EPS, Fst
+
+INF = math.inf
+
+
+def latgen(graph: Fst, log_posts, *, acoustic_scale=1.0, beam=16.0,
+           max_active=2000, log_priors=None, sym_offset=1):
+    """Decode one utterance.
+
+    log_posts: [T, n_phones] log p(phone | frame).  Graph input label i
+    corresponds to posterior column (i - sym_offset) — phone symbol tables
+    start at 1 because 0 is epsilon.
+
+    Returns (word_ids, phone_frames, total_cost) or None if no path
+    survived."""
+    log_posts = np.asarray(log_posts, dtype=np.float64)
+    if log_priors is not None:
+        log_posts = log_posts - np.asarray(log_priors, dtype=np.float64)
+    T, n_ph = log_posts.shape
+
+    # token: state -> (cost, traceback id); tracebacks: list of
+    # (prev_tb, olabel, ilabel) triples
+    tracebacks = [(-1, EPS, EPS)]
+
+    def eps_expand(tokens):
+        """Relax non-emitting (input-eps) arcs until fixpoint."""
+        stack = list(tokens.keys())
+        while stack:
+            s = stack.pop()
+            cost, tb = tokens[s]
+            for a in graph.arcs[s]:
+                if a.ilabel != EPS:
+                    continue
+                nc = cost + a.weight
+                if nc < tokens.get(a.nextstate, (INF,))[0]:
+                    tracebacks.append((tb, a.olabel, EPS))
+                    tokens[a.nextstate] = (nc, len(tracebacks) - 1)
+                    stack.append(a.nextstate)
+        return tokens
+
+    tokens = eps_expand({graph.start: (0.0, 0)})
+
+    for t in range(T):
+        nxt: dict[int, tuple] = {}
+        best = INF
+        for s, (cost, tb) in tokens.items():
+            for a in graph.arcs[s]:
+                if a.ilabel == EPS:
+                    continue
+                col = a.ilabel - sym_offset
+                if col < 0 or col >= n_ph:
+                    continue
+                ac = -acoustic_scale * log_posts[t, col]
+                nc = cost + a.weight + ac
+                if nc >= best + beam:
+                    continue
+                if nc < nxt.get(a.nextstate, (INF,))[0]:
+                    tracebacks.append((tb, a.olabel, a.ilabel))
+                    nxt[a.nextstate] = (nc, len(tracebacks) - 1)
+                    best = min(best, nc)
+        if not nxt:
+            return None
+        # beam + histogram pruning
+        cut = best + beam
+        pruned = {s: v for s, v in nxt.items() if v[0] <= cut}
+        if len(pruned) > max_active:
+            costs = sorted(v[0] for v in pruned.values())
+            cut = costs[max_active - 1]
+            pruned = {s: v for s, v in pruned.items() if v[0] <= cut}
+        tokens = eps_expand(pruned)
+
+    # terminate: add final weights
+    best_state, best_cost, best_tb = None, INF, -1
+    for s, (cost, tb) in tokens.items():
+        if graph.is_final(s):
+            total = cost + graph.final_weight(s)
+            if total < best_cost:
+                best_state, best_cost, best_tb = s, total, tb
+    if best_state is None:
+        return None
+
+    words, phones = [], []
+    tb = best_tb
+    while tb >= 0:
+        prev, ol, il = tracebacks[tb]
+        if ol != EPS:
+            words.append(ol)
+        if il != EPS:
+            phones.append(il)
+        tb = prev
+    return words[::-1], phones[::-1], best_cost
+
+
+def decode_posterior_ark(graph, post_iter, word_syms, *, acoustic_scale=1.0,
+                         beam=16.0, max_active=2000, log_priors=None):
+    """Decode a (key, log_posterior_matrix) stream; yields
+    (key, word_string, cost).  word_syms: {word: id}."""
+    id2word = {v: k for k, v in word_syms.items()}
+    for key, mat in post_iter:
+        res = latgen(graph, mat, acoustic_scale=acoustic_scale, beam=beam,
+                     max_active=max_active, log_priors=log_priors)
+        if res is None:
+            yield key, "", INF
+            continue
+        word_ids, _, cost = res
+        yield key, " ".join(id2word.get(w, "<unk>") for w in word_ids), cost

