@@ -1,18 +1,9 @@
 """Import the ACTUAL reference code (mounted read-only at /root/reference)
 under modern torch, for golden parity tests.
 
-The reference targets torch 0.4.1 (reference README.md:23-27); under
-torch 2.x three API drifts break it, each patched here without touching
-the reference tree:
-
-- ``Tensor.view`` on non-contiguous results (Modules.py:25 Bottle reshape)
-  now raises; fall back to ``reshape``;
-- ``masked_fill`` requires bool masks, the reference passes uint8
-  (Modules.py:85);
-- ``nn.init.xavier_normal`` lost its non-underscore alias
-  (Modules.py:12, SubLayers.py:27-29).
-
-Nothing here is imported by the framework itself — test-only scaffolding.
+API-drift patches live in pytorch_kaldi_asr_tpu.tools.torch04_compat;
+this module adds the sys.path plumbing for the reference's import layout
+(reference path.sh:6-13).  Test-only scaffolding.
 """
 
 from __future__ import annotations
@@ -31,36 +22,9 @@ def reference_available() -> bool:
 
 
 def _install_shims():
-    import torch
+    from pytorch_kaldi_asr_tpu.tools import torch04_compat
 
-    if getattr(torch, "_pka_ref_compat", False):
-        return
-    torch._pka_ref_compat = True
-
-    orig_view = torch.Tensor.view
-
-    def _view(self, *shape):
-        try:
-            return orig_view(self, *shape)
-        except RuntimeError:
-            return self.reshape(*shape)
-
-    torch.Tensor.view = _view
-
-    for name in ("masked_fill_", "masked_fill"):
-        orig = getattr(torch.Tensor, name)
-
-        def _mf(self, mask, value, _orig=orig):
-            if mask.dtype == torch.uint8:
-                mask = mask.bool()
-            return _orig(self, mask, value)
-
-        setattr(torch.Tensor, name, _mf)
-
-    if not hasattr(torch.nn.init, "xavier_normal"):
-        torch.nn.init.xavier_normal = torch.nn.init.xavier_normal_
-    if not hasattr(torch.nn.init, "xavier_uniform"):
-        torch.nn.init.xavier_uniform = torch.nn.init.xavier_uniform_
+    torch04_compat.install()
 
 
 def import_reference():
