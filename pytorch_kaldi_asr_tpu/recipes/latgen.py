@@ -32,6 +32,11 @@ def main(argv=None):
     parser.add_argument("-max_active", type=int, default=2000)
     parser.add_argument("-priors_file", default=None,
                         help="numpy .npy log-priors to subtract")
+    parser.add_argument("-lattice_beam", type=float, default=8.0)
+    parser.add_argument("-save_lattice_file", default=None,
+                        help="also emit pruned word lattices (kaldi text)")
+    parser.add_argument("-save_slf", default=None,
+                        help="also emit HTK SLF lattices (file or dir)")
     opt = parser.parse_args(argv)
 
     graph = Fst.read_binary(os.path.join(opt.graph_dir, "HLG.fst"))
@@ -42,13 +47,44 @@ def main(argv=None):
     reader = read_mat_scp(path) if kind == "scp" else read_mat_ark(path)
 
     n = 0
-    with open(opt.save_result_file, "w", encoding="utf-8") as f:
-        for key, text, cost in decode_posterior_ark(
-            graph, reader, word_syms, acoustic_scale=opt.acoustic_scale,
-            beam=opt.beam, max_active=opt.max_active, log_priors=log_priors,
-        ):
-            f.write(f"{key} {text}\n")
-            n += 1
+    if opt.save_lattice_file or opt.save_slf:
+        from pytorch_kaldi_asr_tpu.decode.latgen import latgen_lattice
+        from pytorch_kaldi_asr_tpu.decode.lattice_io import write_slf_file
+
+        id2word = {v: k for k, v in word_syms.items()}
+        lats = []
+        with open(opt.save_result_file, "w", encoding="utf-8") as f:
+            for key, mat in reader:
+                lat = latgen_lattice(
+                    graph, mat, acoustic_scale=opt.acoustic_scale,
+                    beam=opt.beam, lattice_beam=opt.lattice_beam,
+                    max_active=opt.max_active, log_priors=log_priors,
+                    id2word=id2word, utt=key,
+                )
+                if lat is None:
+                    f.write(f"{key} \n")
+                    continue
+                words, _ = lat.best_path()
+                f.write(f"{key} {' '.join(words)}\n")
+                lats.append(lat)
+                n += 1
+        if opt.save_lattice_file:
+            with open(opt.save_lattice_file, "w", encoding="utf-8") as f:
+                for lat in lats:
+                    f.write(f"{lat.utt}\n")
+                    lat.write_kaldi_text(f)
+                    f.write("\n")
+        if opt.save_slf:
+            write_slf_file(lats, opt.save_slf)
+    else:
+        with open(opt.save_result_file, "w", encoding="utf-8") as f:
+            for key, text, cost in decode_posterior_ark(
+                graph, reader, word_syms,
+                acoustic_scale=opt.acoustic_scale, beam=opt.beam,
+                max_active=opt.max_active, log_priors=log_priors,
+            ):
+                f.write(f"{key} {text}\n")
+                n += 1
     info("decoded %d utterances -> %s", n, opt.save_result_file)
     return 0
 
