@@ -215,13 +215,14 @@ def add_hmm_loops(g: Fst, n_phones, *, self_loop_prob=0.5,
 
 
 def mkgraph(lexicon, lm: NgramLM, word_syms, phone_syms, *, sil_phone=None,
-            sil_prob=0.5, hmm_loops=True, self_loop_prob=0.5):
+            sil_prob=0.5, hmm_loops=True, self_loop_prob=0.5, topo=None):
     """Full graph compilation: returns (graph, phone_syms_ext).
 
     min(det(L o G)) with disambig symbols mapped back to epsilon (mkgraph.sh
-    phases 2-4), then optional monophone self-loop expansion (phase 5's
-    add-self-loops role).  Graph input labels are phone ids, outputs are
-    word ids."""
+    phases 2-4), then HMM expansion (phase 5's add-self-loops role): either
+    the default 1-state self-loop model, or — when ``topo`` (a parsed
+    topology from tools.lang.parse_topo) is given — the per-phone HMMs it
+    declares.  Graph input labels are phone ids, outputs are word ids."""
     word_syms = dict(word_syms)
     if "#0" not in word_syms:
         word_syms["#0"] = max(word_syms.values()) + 1
@@ -238,7 +239,11 @@ def mkgraph(lexicon, lm: NgramLM, word_syms, phone_syms, *, sil_phone=None,
             if v > n_real_phones}
     omap = {word_syms["#0"]: EPS}
     LG = ops.relabel(LG, imap=imap, omap=omap).connect()
-    if hmm_loops:
+    if topo is not None:
+        from pytorch_kaldi_asr_tpu.tools.lang import expand_hmm
+
+        LG = expand_hmm(LG, topo)
+    elif hmm_loops:
         LG = add_hmm_loops(LG, n_real_phones,
                            self_loop_prob=self_loop_prob)
     return LG.arcsort("ilabel"), phone_syms_ext

@@ -64,6 +64,9 @@ def main(argv=None):
     parser.add_argument("-sil_prob", type=float, default=0.5)
     parser.add_argument("-self_loop_prob", type=float, default=0.5)
     parser.add_argument("-no_hmm_loops", action="store_true")
+    parser.add_argument("-topo", default=None,
+                        help="HMM topology file (gen_topo format); "
+                             "overrides the 1-state self-loop default")
     parser.add_argument("-graph_dir", required=True)
     opt = parser.parse_args(argv)
 
@@ -79,11 +82,18 @@ def main(argv=None):
     lm = read_arpa(opt.lm)
     word_syms = {w: i + 1 for i, w in enumerate(sorted(lexicon))}
 
+    topo = None
+    if opt.topo:
+        from pytorch_kaldi_asr_tpu.tools.lang import parse_topo
+
+        with open(opt.topo, encoding="utf-8") as f:
+            topo = parse_topo(f.read())
+
     graph, phone_syms_ext = mkgraph(
         lexicon, lm, word_syms, phone_syms,
         sil_phone=opt.sil_phone, sil_prob=opt.sil_prob,
         hmm_loops=not opt.no_hmm_loops,
-        self_loop_prob=opt.self_loop_prob,
+        self_loop_prob=opt.self_loop_prob, topo=topo,
     )
     os.makedirs(opt.graph_dir, exist_ok=True)
     graph.write_binary(os.path.join(opt.graph_dir, "HLG.fst"))

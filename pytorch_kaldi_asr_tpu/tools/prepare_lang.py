@@ -9,12 +9,12 @@ From a dict dir (``lexicon.txt`` word → pronunciation, optional
       phones.txt     phone symbol table (<eps>=0, disambig symbols last)
       L.fst.txt      lexicon FST (phones in, words out, text form)
       oov.txt        the OOV word (default <unk>)
-      topo           (placeholder HMM topology, see note)
+      topo           HMM topology (gen_topo.pl format; tools/lang.py)
 
-Kaldi's full pipeline additionally builds phone alignment metadata and a
-binary-compiled L.fst — the text form here compiles with OpenFst's
-fstcompile.  The HCLG graph build (mkgraph.sh) is out of scope; the TIMIT
-recipe never invokes it (run.sh's only FST artifact is unused downstream)."""
+The topology is real and consumed: fst.graph.mkgraph expands per-phone
+HMMs from it (tools.lang.expand_hmm), and tools.lang.validate_lang checks
+the dir (validate_lang.pl role).  The HCLG graph build itself lives in
+recipes/mkgraph.py."""
 
 from __future__ import annotations
 
@@ -60,7 +60,8 @@ def validate_dict(lexicon, silence_phones):
     return problems
 
 
-def prepare_lang(dict_dir, lang_dir, *, oov_word="<unk>", sil_prob=0.5):
+def prepare_lang(dict_dir, lang_dir, *, oov_word="<unk>", sil_prob=0.5,
+                 num_nonsil_states=1, num_sil_states=1):
     os.makedirs(lang_dir, exist_ok=True)
     lexicon = read_lexicon(os.path.join(dict_dir, "lexicon.txt"))
 
@@ -102,10 +103,19 @@ def prepare_lang(dict_dir, lang_dir, *, oov_word="<unk>", sil_prob=0.5):
     write_syms(phone_syms, "phones.txt")
     with open(os.path.join(lang_dir, "oov.txt"), "w") as f:
         f.write(oov_word + "\n")
-    # placeholder mono topology descriptor (documented; consumed by nothing
-    # in this framework — kept so lang dirs are structurally complete)
+    # real HMM topology (gen_topo.pl construction), consumed by
+    # fst.graph.mkgraph via tools.lang.expand_hmm
+    from pytorch_kaldi_asr_tpu.tools.lang import gen_topo
+
+    sil_ids = sorted(phone_syms[p] for p in silence_phones | (
+        {sil_phone} if sil_phone else set()) if p in phone_syms)
+    nonsil_ids = sorted(
+        v for k, v in phone_syms.items()
+        if v not in sil_ids and k != "<eps>" and not k.startswith("#"))
     with open(os.path.join(lang_dir, "topo"), "w") as f:
-        f.write("# 3-state left-to-right topology placeholder\n")
+        f.write(gen_topo(nonsil_ids, sil_ids,
+                         num_nonsil_states=num_nonsil_states,
+                         num_sil_states=num_sil_states))
 
     make_lexicon_fst_text(
         lexicon, word_syms, phone_syms,
@@ -123,9 +133,13 @@ def main(argv=None):
     parser.add_argument("lang_dir")
     parser.add_argument("--oov", default="<unk>")
     parser.add_argument("--sil-prob", type=float, default=0.5)
+    parser.add_argument("--num-nonsil-states", type=int, default=1)
+    parser.add_argument("--num-sil-states", type=int, default=1)
     opt = parser.parse_args(argv)
     prepare_lang(opt.dict_dir, opt.lang_dir, oov_word=opt.oov,
-                 sil_prob=opt.sil_prob)
+                 sil_prob=opt.sil_prob,
+                 num_nonsil_states=opt.num_nonsil_states,
+                 num_sil_states=opt.num_sil_states)
     return 0
 
 
