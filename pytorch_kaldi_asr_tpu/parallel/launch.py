@@ -2,7 +2,7 @@
 grid schedulers (kaldi/queue.pl, utils/run.pl, slurm.pl, pbs.pl, ssh.pl —
 SURVEY.md §2b/§5.8), preserving their uniform CLI contract::
 
-    launch [--max-jobs N] [JOB=1:N] <log-file> <command> [args...]
+    launch [--max-jobs N] [--hosts FILE] [JOB=1:N] <log-file> <command...>
 
 - ``JOB=1:N`` expands into N jobs with ``JOB`` substituted in the log path
   and arguments (run.pl's array-job contract);
@@ -10,17 +10,22 @@ SURVEY.md §2b/§5.8), preserving their uniform CLI contract::
   ``# command / # Started / # Ended (code N) / # Accounting`` lines the Kaldi
   log-triage tooling greps for;
 - failure of any array element fails the launcher with a run.pl-style
-  message.
+  message;
+- ``--hosts FILE`` (one hostname per line, the .queue/machines shape)
+  round-robins array jobs over machines via ssh with the working directory
+  preserved and logs collected locally — the ssh.pl role
+  (reference kaldi/utils/ssh.pl:1-218).  The ssh binary is overridable via
+  $PKA_SSH (used by tests; also handy for custom rsh wrappers).
 
-Single-host multi-process only: on TPU, in-process parallelism is the mesh
-(parallel/mesh.py), and multi-host jobs use ``jax.distributed.initialize``
-driven by the hosts' own launcher — there is deliberately no NFS-sync-file
-machinery to replicate here."""
+In-process parallelism on TPU is the mesh (parallel/mesh.py); multi-host
+SPMD jobs join one runtime via parallel/multihost.py — this launcher covers
+the job-level distribution the reference delegates to its schedulers."""
 
 from __future__ import annotations
 
 import os
 import re
+import shlex
 import subprocess
 import sys
 import time
@@ -30,16 +35,31 @@ def _expand(template, job):
     return template.replace("JOB", str(job))
 
 
-def run_job(log_file, command, job=None):
-    """Run one command, capturing output into log_file with Kaldi-style
-    book-ends.  Returns the exit code."""
+def remote_command(host, command, cwd=None, ssh=None):
+    """Build the ssh argv for running ``command`` on ``host`` from the
+    current working directory (ssh.pl behavior: cd to cwd first so relative
+    data/log paths resolve on the far side)."""
+    ssh = ssh or os.environ.get("PKA_SSH", "ssh")
+    cwd = cwd or os.getcwd()
+    remote = f"cd {shlex.quote(cwd)} && " + " ".join(
+        shlex.quote(c) for c in command)
+    return shlex.split(ssh) + ["-o", "BatchMode=yes", host, remote]
+
+
+def run_job(log_file, command, job=None, host=None):
+    """Run one command (locally, or on ``host`` via ssh), capturing output
+    into log_file with Kaldi-style book-ends.  Returns the exit code."""
     if job is not None:
         log_file = _expand(log_file, job)
         command = [_expand(c, job) for c in command]
+    if host:
+        command = remote_command(host, command)
     os.makedirs(os.path.dirname(os.path.abspath(log_file)), exist_ok=True)
     start = time.time()
     with open(log_file, "w", encoding="utf-8") as log:
         log.write("# " + " ".join(command) + "\n")
+        if host:
+            log.write(f"# Running on {host}\n")
         log.write("# Started at " + time.ctime(start) + "\n#\n")
         log.flush()
         proc = subprocess.run(
@@ -52,28 +72,46 @@ def run_job(log_file, command, job=None):
     return proc.returncode
 
 
-def run_job_with_retries(log_file, command, job=None, retries=0):
+def run_job_with_retries(log_file, command, job=None, retries=0, host=None):
     """run_job plus requeue-on-failure (role of queue.pl's remap of
     OOM-killed jobs into the re-runnable state, reference kaldi/queue.pl
     exit-137 handling)."""
-    code = run_job(log_file, command, job)
+    code = run_job(log_file, command, job, host=host)
     attempt = 0
     while code != 0 and attempt < retries:
         attempt += 1
-        code = run_job(log_file, command, job)
+        code = run_job(log_file, command, job, host=host)
     return code
+
+
+def read_hosts(path):
+    """One host per line; '#' comments; a host may repeat to receive more
+    slots (the .queue/machines convention ssh.pl reads)."""
+    hosts = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                hosts.append(line)
+    if not hosts:
+        raise SystemExit(f"hosts file {path} is empty")
+    return hosts
 
 
 def launch(argv):
     argv = list(argv)
     max_jobs = 0
     retries = 0
+    hosts = None
     while argv and (argv[0].startswith("--") or argv[0] in ("-q", "-l")):
         opt = argv.pop(0)
         if opt.startswith("--max-jobs"):
             max_jobs = int(opt.split("=", 1)[1] if "=" in opt else argv.pop(0))
         elif opt.startswith("--retries"):
             retries = int(opt.split("=", 1)[1] if "=" in opt else argv.pop(0))
+        elif opt.startswith("--hosts"):
+            hosts = read_hosts(
+                opt.split("=", 1)[1] if "=" in opt else argv.pop(0))
         elif opt in ("-q", "-l"):  # accepted+ignored queue.pl resource flags
             argv.pop(0)
         else:
@@ -94,7 +132,8 @@ def launch(argv):
     log_file, command = argv[0], argv[1:]
 
     if job_range is None:
-        code = run_job_with_retries(log_file, command, retries=retries)
+        code = run_job_with_retries(log_file, command, retries=retries,
+                                    host=hosts[0] if hosts else None)
         if code != 0:
             print(f"launch: job failed (code {code}), log is in {log_file}",
                   file=sys.stderr)
@@ -108,8 +147,9 @@ def launch(argv):
     with concurrent.futures.ThreadPoolExecutor(max_workers=limit) as pool:
         futures = {
             pool.submit(run_job_with_retries, log_file, command, job,
-                        retries): job
-            for job in jobs
+                        retries,
+                        hosts[i % len(hosts)] if hosts else None): job
+            for i, job in enumerate(jobs)
         }
         for fut in concurrent.futures.as_completed(futures):
             if fut.result() != 0:
