@@ -145,6 +145,128 @@ def measure_torch_baseline(steps=2, warmup=1, batch=10):
     return batch * SRC_LEN * steps / dt
 
 
+def measure_pipeline_e2e(steps=30, warmup=3):
+    """End-to-end input-pipeline throughput: ark read -> bucketed batching
+    -> host->device prefetch -> jitted train step, on a TIMIT-shaped length
+    distribution (the reference's measured bottleneck was exactly this path:
+    1.8 s/batch ark IO, reference train.py:167).  Returns
+    (valid_frames_per_sec, padded_frames_per_sec)."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_kaldi_asr_tpu.data.instances import (
+        build_vocab,
+        read_instances,
+    )
+    from pytorch_kaldi_asr_tpu.data.loader import (
+        make_batch_loader,
+        prefetch_to_device,
+    )
+    from pytorch_kaldi_asr_tpu.tools.make_timit_shaped import (
+        CorpusModel,
+        write_split,
+    )
+    from pytorch_kaldi_asr_tpu.train import create_train_state, make_train_step
+    from pytorch_kaldi_asr_tpu.models import TransformerConfig, init_transformer
+
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    try:
+        n_utts = max(2 * BATCH, (steps + warmup) * BATCH // 4)
+        write_split(tmp, CorpusModel(feat_dim=SRC_DIM, seed=0), n_utts,
+                    spk_seed=1, utt_seed=2)
+        instances = read_instances(os.path.join(tmp, "text"))
+        vocab = build_vocab(instances)
+        cfg = TransformerConfig(src_dim=SRC_DIM, vocab_size=len(vocab),
+                                compute_dtype=jnp.bfloat16)
+        params = init_transformer(jax.random.PRNGKey(0), cfg)
+        state, tx = create_train_state(params)
+        train_step = make_train_step(cfg, tx)
+
+        loader = make_batch_loader(tmp, vocab, BATCH, mode="drop",
+                                   num_buckets=4)
+
+        def epoch_batches():
+            while True:
+                yield from prefetch_to_device(loader)
+
+        it = epoch_batches()
+        for _ in range(warmup):
+            b = next(it)
+            state, m = train_step(state, b.src, b.src_mask, b.tgt, b.tgt_mask)
+        float(m["loss"])
+
+        valid = padded = 0
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            b = next(it)
+            state, m = train_step(state, b.src, b.src_mask, b.tgt, b.tgt_mask)
+            padded += b.src.shape[0] * b.src.shape[1]
+            valid += int(np.asarray(b.src_mask).sum())
+        float(m["loss"])  # sync the dependent chain
+        dt = max(time.perf_counter() - t0, 1e-9)
+        return valid / dt, padded / dt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# peak spec sheet per device kind: (bf16 TFLOP/s, HBM GB/s)
+_PEAKS = {
+    "TPU v5e": (197.0, 819.0),
+    "TPU v5 lite": (197.0, 819.0),
+    "TPU v4": (275.0, 1228.0),
+    "TPU v6e": (918.0, 1640.0),
+}
+
+
+def measure_mfu():
+    """Model-FLOPs utilization + HBM-bandwidth utilization of the jitted
+    train step, from the compiled executable's cost analysis and the
+    measured step time (the roofline numbers BASELINE.md's
+    'speed-of-light' target is judged against)."""
+    import jax
+
+    from pytorch_kaldi_asr_tpu.train import create_train_state, make_train_step
+
+    cfg, params, (src, src_mask, tgt, tgt_mask) = _flagship_setup()
+    state, tx = create_train_state(params)
+    step = make_train_step(cfg, tx)
+    src, src_mask, tgt, tgt_mask = jax.device_put((src, src_mask, tgt,
+                                                   tgt_mask))
+    try:
+        lowered = jax.jit(step.__wrapped__ if hasattr(step, "__wrapped__")
+                          else step).lower(state, src, src_mask, tgt,
+                                           tgt_mask)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        nbytes = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        return None
+
+    fps = measure_jax(steps=20)
+    step_time = BATCH * SRC_LEN / max(fps, 1e-9)
+    kind = jax.devices()[0].device_kind
+    peak_flops, peak_bw = None, None
+    for k, v in _PEAKS.items():
+        if k.lower() in kind.lower():
+            peak_flops, peak_bw = v
+            break
+    out = {
+        "step_flops": flops,
+        "step_bytes": nbytes,
+        "step_time_ms": round(step_time * 1e3, 3),
+        "device_kind": kind,
+    }
+    if peak_flops:
+        out["mfu"] = round(flops / step_time / (peak_flops * 1e12), 4)
+        out["hbm_util"] = round(nbytes / step_time / (peak_bw * 1e9), 4)
+    return out
+
+
 def get_baseline():
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
@@ -169,12 +291,29 @@ def main():
     model = os.environ.get("BENCH_MODEL", "tdnn")
     metric = "am_train_throughput" if model == "tdnn" else \
         f"am_train_throughput_{model}"
-    print(json.dumps({
+    record = {
         "metric": metric,
         "value": round(value, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(value / baseline, 2),
-    }))
+    }
+    if model == "tdnn" and os.environ.get("BENCH_SKIP_E2E") != "1":
+        # end-to-end pipeline (ark -> bucketing -> prefetch -> step) and
+        # roofline numbers ride along in the same JSON line
+        try:
+            e2e_valid, e2e_padded = measure_pipeline_e2e()
+            record["e2e_valid_frames_per_sec"] = round(e2e_valid, 1)
+            record["e2e_padded_frames_per_sec"] = round(e2e_padded, 1)
+            record["pipeline_efficiency"] = round(e2e_padded / value, 3)
+        except Exception as e:  # never fail the headline number
+            record["e2e_error"] = repr(e)[:200]
+        try:
+            roofline = measure_mfu()
+            if roofline:
+                record.update(roofline)
+        except Exception as e:
+            record["mfu_error"] = repr(e)[:200]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

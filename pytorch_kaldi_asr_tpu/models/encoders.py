@@ -65,20 +65,28 @@ def init_banded_encoder(rng, cfg):
 
 
 def _banded_self_attention(p, x, src_mask, cfg, rate, rngs, train):
-    """Banded self-attention block (post-LN).  Training with attention
-    dropout uses the general masked path; inference routes through
-    ops.banded_attention, whose dispatcher picks the Pallas blockwise kernel
-    on TPU for long sequences (no [S, S] score tensor)."""
+    """Banded self-attention block (post-LN).
+
+    Inference routes through ops.banded_attention (Pallas blockwise kernel
+    on TPU for long sequences — no [S, S] score tensor).  TRAINING on long
+    sequences uses the differentiable kernel (custom VJP + in-kernel
+    attention-prob dropout, ops.banded_attention_trainable); short
+    sequences fall back to the general masked XLA path where full
+    attention is cheaper than the band bookkeeping."""
     s = x.shape[1]
     start, end = cfg.encoder_sub_sequence
-    if train and rate > 0:
+    kernel_ok = jax.default_backend() == "tpu" and s % 128 == 0 and s >= 1024
+    if train and rate > 0 and not kernel_ok:
         blocked = padding_attn_mask(src_mask, src_mask) | banded_attn_mask(
             s, start, end
         )[None]
         return multi_head_attention(p, x, x, x, blocked, cfg, rate, rngs,
                                     train)
 
-    from pytorch_kaldi_asr_tpu.ops.banded_attention import banded_attention
+    from pytorch_kaldi_asr_tpu.ops.banded_attention import (
+        banded_attention,
+        banded_attention_trainable,
+    )
     from pytorch_kaldi_asr_tpu.models.common import layer_norm
 
     b = x.shape[0]
@@ -88,12 +96,22 @@ def _banded_self_attention(p, x, src_mask, cfg, rate, rngs, train):
     ks = jnp.einsum("bld,hdk->bhlk", x, p["w_ks"]).reshape(b * h, s, -1)
     vs = jnp.einsum("bld,hdv->bhlv", x, p["w_vs"]).reshape(b * h, s, -1)
     key_valid = jnp.repeat(src_mask.astype(jnp.int32), h, axis=0)
-    out = banded_attention(
-        qs, ks, vs, key_valid, start=start, end=end,
-        scale=1.0 / float(d_model) ** 0.5,
-    )
+    scale = 1.0 / float(d_model) ** 0.5
+    if train and kernel_ok:
+        key = rngs.next()
+        seed = (jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+                if key is not None else jnp.int32(0))
+        out = banded_attention_trainable(
+            qs, ks, vs, key_valid, seed, start, end, scale, float(rate),
+        )
+    else:
+        out = banded_attention(
+            qs, ks, vs, key_valid, start=start, end=end, scale=scale,
+            force="reference" if train else None,
+        )
     out = out.reshape(b, h, s, -1).transpose(0, 2, 1, 3).reshape(b, s, -1)
     out = out @ p["proj"]["w"] + p["proj"]["b"]
+    out = dropout(out, rate, rngs.next(), train)
     out = out + x
     return layer_norm(out, p["ln"]["gamma"], p["ln"]["beta"],
                       skip_len1=cfg.ln_skip_len1)

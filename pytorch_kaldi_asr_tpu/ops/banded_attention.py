@@ -152,6 +152,386 @@ def banded_attention_pallas(q, k, v, key_valid, *, start, end, scale,
     )(q, k, v, key_valid.reshape(bh, s, 1))
 
 
+# ---------------------------------------------------------------------------
+# trainable path: forward with LSE + attention-prob dropout, custom VJP with
+# blockwise backward kernels (flash-attention backward over the band)
+# ---------------------------------------------------------------------------
+
+
+def _dropout_keep(seed, bh, q_pos, k_pos, rate):
+    """Deterministic keep mask as a pure function of (seed, batch-head,
+    GLOBAL q/k position) — a counter-based lowbias32-style integer hash.
+    Because it keys on global coordinates, the forward and both backward
+    kernels regenerate the identical mask regardless of how their grids
+    block the computation (and it works in interpret mode, unlike the
+    hardware PRNG primitives)."""
+    x = (q_pos.astype(jnp.uint32) * jnp.uint32(2654435761)
+         + k_pos.astype(jnp.uint32) * jnp.uint32(2246822519)
+         + jnp.uint32(bh) * jnp.uint32(3266489917)
+         + seed.astype(jnp.uint32))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    thresh = jnp.uint32(int(rate * 0xFFFFFFFF))
+    return x >= thresh
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, kv_ref, out_ref, lse_ref,
+                m_ref, l_ref, acc_ref, *, start, end, scale, block_q,
+                n_back, n_kblocks, dropout_rate):
+    b = pl.program_id(0)
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    k_block = qi - n_back + kj
+    in_range = (k_block >= 0) & (k_block < n_kblocks)
+
+    @pl.when(in_range)
+    def _accumulate():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_q), 0)
+        k_pos = k_block * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_q), 1)
+        rel = k_pos - q_pos
+        kv = kv_ref[0][:, 0]
+        mask = (rel >= start) & (rel <= end) & (kv[None, :] > 0)
+        s = jnp.where(mask, s, -jnp.inf)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.where(mask, jnp.exp(s - m_safe), 0.0)
+        alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_safe), 0.0)
+        # denominator uses the FULL p (softmax normalizer); dropout applies
+        # only to the value accumulation — exactly dropout(softmax(s)) @ v
+        l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
+        if dropout_rate > 0.0:
+            keep = _dropout_keep(seed_ref[0], b, q_pos, k_pos, dropout_rate)
+            p_acc = jnp.where(keep, p, 0.0) / (1.0 - dropout_rate)
+        else:
+            p_acc = p
+        acc_ref[:] = alpha * acc_ref[:] + jax.lax.dot_general(
+            p_acc, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = m_new
+
+    @pl.when(kj == pl.num_programs(2) - 1)
+    def _finalize():
+        denom = l_ref[:]
+        out = acc_ref[:] / jnp.where(denom == 0.0, 1.0, denom)
+        out_ref[0] = out.astype(out_ref.dtype)
+        # logsumexp per query row (finite rows only; -inf rows stay -inf)
+        lse = jnp.where(
+            denom[:, 0] > 0.0,
+            m_ref[:][:, 0] + jnp.log(jnp.where(denom[:, 0] > 0.0,
+                                               denom[:, 0], 1.0)),
+            -jnp.inf,
+        )
+        lse_ref[0] = lse[:, None]
+
+
+def _dq_kernel(seed_ref, q_ref, k_ref, do_ref, lse_ref, delta_ref, kv_ref,
+               v_ref, dq_ref, acc_ref, *, start, end, scale, block_q,
+               n_back, n_kblocks, dropout_rate):
+    b = pl.program_id(0)
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    k_block = qi - n_back + kj
+    in_range = (k_block >= 0) & (k_block < n_kblocks)
+
+    @pl.when(in_range)
+    def _accumulate():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0][:, 0]
+        delta = delta_ref[0][:, 0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_q), 0)
+        k_pos = k_block * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_q), 1)
+        rel = k_pos - q_pos
+        kv = kv_ref[0][:, 0]
+        mask = (rel >= start) & (rel <= end) & (kv[None, :] > 0)
+        lse_safe = jnp.where(jnp.isfinite(lse), lse, 0.0)
+        a = jnp.where(mask, jnp.exp(s - lse_safe[:, None]), 0.0)
+        a = jnp.where(jnp.isfinite(lse)[:, None], a, 0.0)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if dropout_rate > 0.0:
+            keep = _dropout_keep(seed_ref[0], b, q_pos, k_pos, dropout_rate)
+            dp = jnp.where(keep, dp, 0.0) / (1.0 - dropout_rate)
+        ds = a * (dp - delta[:, None])
+        acc_ref[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(kj == pl.num_programs(2) - 1)
+    def _finalize():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                kv_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, start, end,
+                scale, block_q, n_fwd, n_qblocks, dropout_rate):
+    b = pl.program_id(0)
+    ki = pl.program_id(1)
+    qj = pl.program_id(2)
+
+    @pl.when(qj == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    # queries whose band [q+start, q+end] covers this k block:
+    # q in [k - end, k - start]  ->  q blocks from ki - n_fwd upward
+    q_block = ki - n_fwd + qj
+    in_range = (q_block >= 0) & (q_block < n_qblocks)
+
+    @pl.when(in_range)
+    def _accumulate():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0][:, 0]
+        delta = delta_ref[0][:, 0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        q_pos = q_block * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_q), 0)
+        k_pos = ki * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_q), 1)
+        rel = k_pos - q_pos
+        kv = kv_ref[0][:, 0]
+        mask = (rel >= start) & (rel <= end) & (kv[None, :] > 0)
+        lse_safe = jnp.where(jnp.isfinite(lse), lse, 0.0)
+        a = jnp.where(mask, jnp.exp(s - lse_safe[:, None]), 0.0)
+        a = jnp.where(jnp.isfinite(lse)[:, None], a, 0.0)
+
+        if dropout_rate > 0.0:
+            keep = _dropout_keep(seed_ref[0], b, q_pos, k_pos, dropout_rate)
+            a_drop = jnp.where(keep, a, 0.0) / (1.0 - dropout_rate)
+        else:
+            keep = None
+            a_drop = a
+        # dv += (A∘D)^T dO
+        dv_acc[:] += jax.lax.dot_general(
+            a_drop, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if keep is not None:
+            dp = jnp.where(keep, dp, 0.0) / (1.0 - dropout_rate)
+        ds = a * (dp - delta[:, None])
+        # dk += dS^T q * scale
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(qj == pl.num_programs(2) - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _band_blocks(s, start, end, block_q):
+    n_qblocks = s // block_q
+    n_back = -(-(-start) // block_q) if start < 0 else 0
+    n_fwd = -(-end // block_q) if end > 0 else 0
+    return n_qblocks, n_back, n_fwd
+
+
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(5, 6, 7, 8, 9, 10),
+)
+def banded_attention_trainable(q, k, v, key_valid, seed, start, end, scale,
+                               dropout_rate=0.0, block_q=128,
+                               interpret=False):
+    """Differentiable flash banded attention with attention-prob dropout.
+
+    Semantics: ``dropout(softmax(banded_mask(q kᵀ scale))) @ v`` — the
+    reference's ScaledDotProductAttention with its attn dropout
+    (Modules.py:75-97) in blockwise form.  ``seed`` is an int32 scalar
+    array; the dropout mask is a pure function of (seed, block indices), so
+    forward and backward regenerate it identically without materializing
+    [S, S] anything."""
+    out, _ = _trainable_fwd(q, k, v, key_valid, seed, start, end, scale,
+                            dropout_rate, block_q, interpret)
+    return out
+
+
+def _trainable_fwd(q, k, v, key_valid, seed, start, end, scale,
+                   dropout_rate, block_q, interpret):
+    bh, s, d = q.shape
+    if s % block_q != 0:
+        raise ValueError(f"S={s} not a multiple of block_q={block_q}")
+    n_qblocks, n_back, n_fwd = _band_blocks(s, start, end, block_q)
+    n_visit = n_back + n_fwd + 1
+    kernel = functools.partial(
+        _fwd_kernel, start=start, end=end, scale=scale, block_q=block_q,
+        n_back=n_back, n_kblocks=n_qblocks, dropout_rate=dropout_rate,
+    )
+
+    def k_index(b, qi, kj):
+        return (b, jnp.clip(qi - n_back + kj, 0, n_qblocks - 1), 0)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, n_qblocks, n_visit),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, qi, kj: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, d), k_index),
+            pl.BlockSpec((1, block_q, d), k_index),
+            pl.BlockSpec((1, block_q, 1), k_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, qi, kj: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, qi, kj: (b, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((bh, s, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(seed, jnp.int32).reshape(1), q, k, v,
+      key_valid.reshape(bh, s, 1))
+    return out, (q, k, v, key_valid, seed, out, lse)
+
+
+def _trainable_bwd(start, end, scale, dropout_rate, block_q, interpret,
+                   res, dout):
+    q, k, v, key_valid, seed, out, lse = res
+    bh, s, d = q.shape
+    n_qblocks, n_back, n_fwd = _band_blocks(s, start, end, block_q)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    kv3 = key_valid.reshape(bh, s, 1)
+    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+
+    def q_fixed(b, qi, kj):
+        return (b, qi, 0)
+
+    def k_index(b, qi, kj):
+        return (b, jnp.clip(qi - n_back + kj, 0, n_qblocks - 1), 0)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, start=start, end=end, scale=scale, block_q=block_q,
+            n_back=n_back, n_kblocks=n_qblocks, dropout_rate=dropout_rate,
+        ),
+        grid=(bh, n_qblocks, n_back + n_fwd + 1),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, d), q_fixed),
+            pl.BlockSpec((1, block_q, d), k_index),
+            pl.BlockSpec((1, block_q, d), q_fixed),      # dout
+            pl.BlockSpec((1, block_q, 1), q_fixed),      # lse
+            pl.BlockSpec((1, block_q, 1), q_fixed),      # delta
+            pl.BlockSpec((1, block_q, 1), k_index),      # key_valid
+            pl.BlockSpec((1, block_q, d), k_index),      # v
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), q_fixed),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(seed_arr, q, k, dout, lse, delta, kv3, v)
+
+    def k_fixed(b, ki, qj):
+        return (b, ki, 0)
+
+    def q_index(b, ki, qj):
+        return (b, jnp.clip(ki - n_fwd + qj, 0, n_qblocks - 1), 0)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, start=start, end=end, scale=scale, block_q=block_q,
+            n_fwd=n_fwd, n_qblocks=n_qblocks, dropout_rate=dropout_rate,
+        ),
+        grid=(bh, n_qblocks, n_back + n_fwd + 1),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, d), q_index),      # q
+            pl.BlockSpec((1, block_q, d), k_fixed),      # k
+            pl.BlockSpec((1, block_q, d), k_fixed),      # v
+            pl.BlockSpec((1, block_q, d), q_index),      # dout
+            pl.BlockSpec((1, block_q, 1), q_index),      # lse
+            pl.BlockSpec((1, block_q, 1), q_index),      # delta
+            pl.BlockSpec((1, block_q, 1), k_fixed),      # key_valid
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), k_fixed),
+            pl.BlockSpec((1, block_q, d), k_fixed),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed_arr, q, k, v, dout, lse, delta, kv3)
+
+    return dq, dk, dv, None, None
+
+
+def _trainable_fwd_rule(q, k, v, key_valid, seed, start, end, scale,
+                        dropout_rate, block_q, interpret):
+    return _trainable_fwd(q, k, v, key_valid, seed, start, end, scale,
+                          dropout_rate, block_q, interpret)
+
+
+banded_attention_trainable.defvjp(_trainable_fwd_rule, _trainable_bwd)
+
+
 def banded_attention(q, k, v, key_valid, *, start, end, scale,
                      block_q=128, force=None):
     """Dispatch: Pallas kernel on TPU when the sequence is long enough for

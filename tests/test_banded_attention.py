@@ -56,3 +56,90 @@ def test_kernel_rejects_bad_shapes():
     with pytest.raises(ValueError):
         banded_attention_pallas(q, k, v, valid, start=-10, end=0, scale=1.0,
                                 block_q=128, interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# trainable kernel: custom VJP + in-kernel attention-prob dropout
+# ---------------------------------------------------------------------------
+
+from pytorch_kaldi_asr_tpu.ops.banded_attention import (  # noqa: E402
+    banded_attention_trainable,
+)
+
+
+def _tr(q, k, v, valid, seed, start=-100, end=0, scale=0.125, rate=0.0):
+    return banded_attention_trainable(q, k, v, valid, seed, start, end,
+                                      scale, rate, 128, True)
+
+
+@pytest.mark.parametrize("start,end", [(-100, 0), (-10, 0), (-64, 32)])
+def test_trainable_forward_matches_oracle(start, end):
+    q, k, v, valid = _inputs(pad_tail=40)
+    out = _tr(q, k, v, valid, jnp.int32(3), start, end)
+    ref = banded_attention_reference(q, k, v, valid, start, end, 0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_trainable_grads_match_oracle_autodiff():
+    q, k, v, valid = _inputs(bh=2, s=256, d=16, pad_tail=56)
+    w = jnp.asarray(
+        np.random.default_rng(5).normal(size=q.shape).astype(np.float32))
+
+    def loss_tr(q, k, v):
+        return (_tr(q, k, v, valid, jnp.int32(3)) * w).sum()
+
+    def loss_ref(q, k, v):
+        return (banded_attention_reference(q, k, v, valid, -100, 0, 0.125)
+                * w).sum()
+
+    g_tr = jax.grad(loss_tr, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_tr, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=f"d{name} mismatch")
+
+
+def test_trainable_dropout_deterministic_and_unbiased():
+    q, k, v, valid = _inputs(bh=2, s=256, d=16)
+    out1 = _tr(q, k, v, valid, jnp.int32(11), rate=0.3)
+    out2 = _tr(q, k, v, valid, jnp.int32(11), rate=0.3)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    out3 = _tr(q, k, v, valid, jnp.int32(12), rate=0.3)
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))
+    # expectation over seeds approximates the no-dropout output
+    outs = [np.asarray(_tr(q, k, v, valid, jnp.int32(s), rate=0.3))
+            for s in range(20)]
+    mean = np.mean(outs, axis=0)
+    base = np.asarray(_tr(q, k, v, valid, jnp.int32(0), rate=0.0))
+    err = np.abs(mean - base).mean() / (np.abs(base).mean() + 1e-9)
+    assert err < 0.2, err
+
+
+def test_trainable_dropout_grad_directional_derivative():
+    """With a fixed seed the dropout mask is deterministic, so the VJP must
+    match a central finite difference along random directions."""
+    rng = np.random.default_rng(7)
+    q, k, v, valid = _inputs(bh=1, s=128, d=8, seed=2)
+    w = jnp.asarray(rng.normal(size=q.shape).astype(np.float32))
+
+    def loss(q):
+        return (_tr(q, k, v, valid, jnp.int32(5), rate=0.25) * w).sum()
+
+    g = jax.grad(loss)(q)
+    for i in range(2):
+        d = jnp.asarray(rng.normal(size=q.shape).astype(np.float32))
+        eps = 1e-2
+        fd = (float(loss(q + eps * d)) - float(loss(q - eps * d))) / (2 * eps)
+        an = float((g * d).sum())
+        assert abs(fd - an) < 3e-2 * max(abs(fd), abs(an), 1.0), (fd, an)
+
+
+def test_trainable_fully_masked_rows_zero_grad():
+    q, k, v, valid = _inputs(bh=1, s=128, d=8)
+    valid = valid.at[0, :].set(0)  # everything masked
+    out = _tr(q, k, v, valid, jnp.int32(1))
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+    g = jax.grad(lambda q: _tr(q, k, v, valid, jnp.int32(1)).sum())(q)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
