@@ -75,7 +75,11 @@ def _banded_self_attention(p, x, src_mask, cfg, rate, rngs, train):
     attention is cheaper than the band bookkeeping."""
     s = x.shape[1]
     start, end = cfg.encoder_sub_sequence
-    kernel_ok = jax.default_backend() == "tpu" and s % 128 == 0 and s >= 1024
+    if getattr(cfg, "use_banded_kernel", None) is None:
+        kernel_ok = (jax.default_backend() == "tpu" and s % 128 == 0
+                     and s >= 1024)
+    else:
+        kernel_ok = bool(cfg.use_banded_kernel) and s % 128 == 0
     if train and rate > 0 and not kernel_ok:
         blocked = padding_attn_mask(src_mask, src_mask) | banded_attn_mask(
             s, start, end
@@ -105,9 +109,15 @@ def _banded_self_attention(p, x, src_mask, cfg, rate, rngs, train):
             qs, ks, vs, key_valid, seed, start, end, scale, float(rate),
         )
     else:
+        if train:
+            force = "reference"  # plain pallas forward is not differentiable
+        elif getattr(cfg, "use_banded_kernel", None) is None:
+            force = None
+        else:
+            force = "pallas" if kernel_ok else "reference"
         out = banded_attention(
             qs, ks, vs, key_valid, start=start, end=end, scale=scale,
-            force="reference" if train else None,
+            force=force,
         )
     out = out.reshape(b, h, s, -1).transpose(0, 2, 1, 3).reshape(b, s, -1)
     out = out @ p["proj"]["w"] + p["proj"]["b"]

@@ -89,6 +89,10 @@ class TransformerConfig:
     encoder_type: str = "tdnn"
     conformer_kernel: int = 15
     tdnnf_bottleneck: int = 64
+    # banded-encoder attention dispatch: None = auto (Pallas kernel on TPU
+    # for S >= 1024), True = always kernel, False = always the masked XLA
+    # path.  Applies to training and inference (see encoders.py).
+    use_banded_kernel: Any = None
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
