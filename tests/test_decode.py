@@ -175,3 +175,39 @@ def test_best_path_collapse_and_fer(tmp_path):
     fer, n = frame_error_rate(f"scp:{tmp_path}/p.scp",
                               {"u1": "1 1 2 0 0 3"})
     assert n == 6 and abs(fer - 1 / 6) < 1e-9  # one frame wrong
+
+
+def test_bucketed_decode_same_one_best(tmp_path):
+    """Length-bucketed decode (recipes/decode.py -num_buckets) must produce
+    the same 1-best hypotheses as single-bucket max-padded decode —
+    padding frames are fully masked, so shorter static shapes only cut
+    wasted beam work."""
+    from pytorch_kaldi_asr_tpu.data.loader import BatchLoader
+
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(4)
+    triples = [
+        (f"utt{i}",
+         rng.normal(size=(5 + 3 * i, cfg.src_dim)).astype(np.float32),
+         np.array([2, 4, 3]))
+        for i in range(6)
+    ]
+    word2idx = {"<blank>": 0, "<unk>": 1, "<s>": 2, "</s>": 3}
+    word2idx.update({f"w{i}": i + 4 for i in range(cfg.vocab_size - 4)})
+
+    def run(num_buckets, name):
+        loader = BatchLoader(triples, batch_size=2, mode="all",
+                             shuffle=False, num_buckets=num_buckets)
+        out = tmp_path / name
+        decode_dataset(params, cfg, loader, word2idx, beam_size=4, nbest=1,
+                       max_token_seq_len=8, save_result_file=str(out))
+        hyps = {}
+        for line in out.read_text().strip().split("\n"):
+            key, _score, *hyp = line.split("\t")
+            hyps[key] = hyp[0] if hyp else ""
+        return hyps
+
+    flat = run(1, "flat.txt")
+    bucketed = run(3, "bucketed.txt")
+    assert flat == bucketed
