@@ -19,6 +19,8 @@ the ``(enc_output [B,S,D], src_mask [B,S])`` interface):
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -262,6 +264,47 @@ def init_conformer_encoder(rng, cfg):
     return params
 
 
+def _conformer_mhsa(p, x, src_mask, cfg, rate, rngs, train):
+    """Banded self-attention for the Conformer through the blocked-XLA
+    banded op (ops/banded_attention.banded_attention_blocked): scores are
+    computed only for the key blocks overlapping the band, never [S, S].
+    Same post-LN + 1/sqrt(d_model)-scale semantics as
+    ``multi_head_attention`` (pinned by tests at f32)."""
+    from pytorch_kaldi_asr_tpu.ops.banded_attention import (
+        banded_attention_blocked,
+    )
+
+    b, s, d_model = x.shape
+    start, end = cfg.encoder_sub_sequence
+    dtype = cfg.compute_dtype
+    residual = x
+    block_q = 128
+    sp = -(-s // block_q) * block_q
+    xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0))).astype(dtype)
+    h = p["w_qs"].shape[0]
+    qs = jnp.einsum("bld,hdk->bhlk", xp, p["w_qs"].astype(dtype))
+    ks = jnp.einsum("bld,hdk->bhlk", xp, p["w_ks"].astype(dtype))
+    vs = jnp.einsum("bld,hdv->bhlv", xp, p["w_vs"].astype(dtype))
+    d_k, d_v = qs.shape[-1], vs.shape[-1]
+    kv = jnp.repeat(
+        jnp.pad(src_mask, ((0, 0), (0, sp - s))).astype(jnp.int32), h, axis=0
+    )
+    out = banded_attention_blocked(
+        qs.reshape(b * h, sp, d_k), ks.reshape(b * h, sp, d_k),
+        vs.reshape(b * h, sp, d_v), kv,
+        start=start, end=end, scale=1.0 / float(d_model) ** 0.5,
+        dropout_rate=rate if train else 0.0, rng=rngs.next(),
+        block_q=block_q,
+    )
+    out = out.reshape(b, h, sp, d_v)[:, :, :s].transpose(0, 2, 1, 3)
+    out = out.reshape(b, s, h * d_v)
+    out = out @ p["proj"]["w"].astype(dtype) + p["proj"]["b"].astype(dtype)
+    out = dropout(out, rate, rngs.next(), train)
+    out = (out + residual).astype(jnp.float32)
+    return layer_norm(out, p["ln"]["gamma"], p["ln"]["beta"],
+                      skip_len1=cfg.ln_skip_len1)
+
+
 def _half_ffn(p, x, cfg, rate, rngs, train):
     """Macaron half-step FFN: x + 0.5·FFN(LN(x)) (pre-LN, swish)."""
     h = layer_norm(x, p["ln"]["gamma"], p["ln"]["beta"], skip_len1=False)
@@ -285,14 +328,17 @@ def _conv_module(p, x, mask, cfg, rate, rngs, train):
     a, b = jnp.split(h, 2, axis=-1)
     h = a * jax.nn.sigmoid(b)  # GLU
     h = h * mask[..., None].astype(h.dtype)
-    # depthwise conv along time, SAME padding
+    # depthwise conv along time, SAME padding — a true grouped
+    # lax.conv (one XLA conv op) rather than a K-term shifted-slice sum,
+    # which re-read the [B,S,D] activation K times from HBM
     kernel = p["dw"]["w"].astype(dtype)  # [K, D]
     k = kernel.shape[0]
     pad = (k - 1) // 2
-    h_pad = jnp.pad(h, ((0, 0), (pad, k - 1 - pad), (0, 0)))
-    h = sum(
-        h_pad[:, i : i + h.shape[1], :] * kernel[i][None, None, :]
-        for i in range(k)
+    h = jax.lax.conv_general_dilated(
+        h, kernel[:, None, :],  # rhs [K, I/groups=1, O=D]
+        window_strides=(1,), padding=[(pad, k - 1 - pad)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=h.shape[-1],
     ) + p["dw"]["b"].astype(dtype)
     h = h.astype(jnp.float32)
     h = layer_norm(h, p["norm"]["gamma"], p["norm"]["beta"], skip_len1=False)
@@ -313,18 +359,23 @@ def conformer_encode(params, cfg, src_seq, src_mask, *, train=False,
     x = x.astype(jnp.float32) + pos[None]
     x = dropout(x, cfg.en_dropout, rngs.next(), train)
 
-    start, end = cfg.encoder_sub_sequence
-    blocked = padding_attn_mask(src_mask, src_mask) | banded_attn_mask(
-        s, start, end
-    )[None]
-    for layer in params["layers"]:
-        x = _half_ffn(layer["ffn1"], x, cfg, cfg.en_dropout, rngs, train)
-        x = multi_head_attention(
-            layer["mhsa"], x, x, x, blocked, cfg, cfg.en_dropout, rngs, train
-        )
+    def layer_fwd(layer, x, key):
+        lrngs = _Rngs(key)
+        x = _half_ffn(layer["ffn1"], x, cfg, cfg.en_dropout, lrngs, train)
+        x = _conformer_mhsa(layer["mhsa"], x, src_mask, cfg, cfg.en_dropout,
+                            lrngs, train)
         x = _conv_module(layer["conv"], x, src_mask, cfg, cfg.en_dropout,
-                         rngs, train)
-        x = _half_ffn(layer["ffn2"], x, cfg, cfg.en_dropout, rngs, train)
+                         lrngs, train)
+        x = _half_ffn(layer["ffn2"], x, cfg, cfg.en_dropout, lrngs, train)
+        return x
+
+    # remat each layer in training (PKA_CONFORMER_REMAT=0 disables): the
+    # step is HBM-bandwidth-bound, so recomputing the layer forward in the
+    # backward pass trades idle MXU cycles for saved activation traffic
+    remat = train and os.environ.get("PKA_CONFORMER_REMAT", "1") == "1"
+    fwd = jax.checkpoint(layer_fwd) if remat else layer_fwd
+    for layer in params["layers"]:
+        x = fwd(layer, x, rngs.next())
     return x, src_mask
 
 

@@ -252,8 +252,11 @@ def multi_head_attention(p, q, k, v, blocked, cfg, rate, rngs, train):
         jnp.array(scale, dtype=dtype)
     )
     attn = masked_softmax(logits.astype(jnp.float32), blocked[:, None, :, :])
-    attn = dropout(attn, rate, rngs.next(), train)
-    out = jnp.einsum("bhql,bhlv->bhqv", attn.astype(dtype), vs)
+    # drop AFTER the compute-dtype cast: the [B,h,Lq,Lk] probs are the
+    # largest activation in the step, and dropout materializes them — in
+    # bf16 that halves the dominant HBM traffic (exact no-op in f32 mode)
+    attn = dropout(attn.astype(dtype), rate, rngs.next(), train)
+    out = jnp.einsum("bhql,bhlv->bhqv", attn, vs)
     b, h, lq, dv = out.shape
     out = out.transpose(0, 2, 1, 3).reshape(b, lq, h * dv)
     out = out @ p["proj"]["w"].astype(dtype) + p["proj"]["b"].astype(dtype)

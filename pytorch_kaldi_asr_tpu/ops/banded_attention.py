@@ -554,3 +554,62 @@ def banded_attention(q, k, v, key_valid, *, start, end, scale,
             block_q=block_q,
         )
     return banded_attention_reference(q, k, v, key_valid, start, end, scale)
+
+
+def banded_attention_blocked(q, k, v, key_valid, *, start, end, scale,
+                             dropout_rate=0.0, rng=None, block_q=128):
+    """Pure-XLA blockwise banded attention (differentiable for free).
+
+    Same semantics as :func:`banded_attention_reference` (masked softmax
+    with fully-masked rows re-zeroed, Modules.py:86-90) plus optional
+    attention-prob dropout, but computed per query block against only the
+    key blocks overlapping the band — scores are [BH, nb, block_q, W]
+    with W = (n_back+1+n_fwd)·block_q instead of [BH, S, S].  For the
+    recipe band (-100, 0) at S=512 that is 2x fewer score FLOPs and ~4x
+    less score traffic than the masked full-attention path, with none of
+    the Pallas kernel's launch overhead — the right tool for moderate S
+    where flash-style blocking loses (BASELINE.md: 0.54x at S=512).
+
+    ``q``/``k``/``v`` are [BH, S, D] with S % block_q == 0 (pad with
+    key_valid=0).  Softmax runs in f32; probs are cast back to q.dtype
+    before dropout so the largest tensors move at compute precision.
+    """
+    bh, s, d = q.shape
+    if s % block_q != 0:
+        raise ValueError(f"S={s} not a multiple of block_q={block_q}")
+    nb, n_back, n_fwd = _band_blocks(s, start, end, block_q)
+    w = (n_back + 1 + n_fwd) * block_q
+
+    pad = ((0, 0), (n_back * block_q, n_fwd * block_q), (0, 0))
+    k_pad = jnp.pad(k, pad)
+    v_pad = jnp.pad(v, pad)
+    valid_pad = jnp.pad(key_valid, (pad[0], pad[1]))
+
+    # [BH, nb, W, D] sliding key/value windows (static slices, cheap: K/V
+    # are band-sized already)
+    k_win = jnp.stack([k_pad[:, j * block_q : j * block_q + w] for j in range(nb)], axis=1)
+    v_win = jnp.stack([v_pad[:, j * block_q : j * block_q + w] for j in range(nb)], axis=1)
+    valid_win = jnp.stack(
+        [valid_pad[:, j * block_q : j * block_q + w] for j in range(nb)], axis=1
+    )  # [BH, nb, W]
+
+    # relative offset of window column kj from query row qi is constant
+    # across blocks: rel = kj - n_back*block_q - qi
+    qi = jnp.arange(block_q)[:, None]
+    kj = jnp.arange(w)[None, :]
+    rel = kj - n_back * block_q - qi
+    band = (rel >= start) & (rel <= end)  # [block_q, W]
+
+    q_blk = q.reshape(bh, nb, block_q, d)
+    logits = jnp.einsum("bnqd,bnkd->bnqk", q_blk, k_win) * scale
+    allowed = band[None, None] & (valid_win[:, :, None, :] > 0)
+    neg = jnp.finfo(jnp.float32).min
+    logits = jnp.where(allowed, logits.astype(jnp.float32), neg)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(allowed, probs, 0.0).astype(q.dtype)  # re-zero rule
+    if dropout_rate > 0.0 and rng is not None:
+        keep = 1.0 - dropout_rate
+        mask = jax.random.bernoulli(rng, keep, probs.shape)
+        probs = jnp.where(mask, probs / keep, 0).astype(q.dtype)
+    out = jnp.einsum("bnqk,bnkd->bnqd", probs, v_win)
+    return out.reshape(bh, s, v.shape[-1])

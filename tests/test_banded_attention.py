@@ -143,3 +143,84 @@ def test_trainable_fully_masked_rows_zero_grad():
     np.testing.assert_array_equal(np.asarray(out), 0.0)
     g = jax.grad(lambda q: _tr(q, k, v, valid, jnp.int32(1)).sum())(q)
     np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# blocked-XLA variant (the moderate-S path used by the Conformer MHSA)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("start,end", [(-100, 0), (-10, 0), (-64, 32),
+                                       (-300, 0)])
+def test_blocked_matches_oracle(start, end):
+    from pytorch_kaldi_asr_tpu.ops.banded_attention import (
+        banded_attention_blocked,
+    )
+
+    q, k, v, valid = _inputs()
+    scale = 1.0 / np.sqrt(256.0)
+    ours = banded_attention_blocked(q, k, v, valid, start=start, end=end,
+                                    scale=scale)
+    oracle = banded_attention_reference(q, k, v, valid, start, end, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(oracle),
+                               atol=2e-5)
+
+
+def test_blocked_padding_and_masked_rows():
+    from pytorch_kaldi_asr_tpu.ops.banded_attention import (
+        banded_attention_blocked,
+    )
+
+    q, k, v, valid = _inputs(bh=2, s=256, d=16, pad_tail=128)
+    ours = banded_attention_blocked(q, k, v, valid, start=-10, end=0,
+                                    scale=0.1)
+    oracle = banded_attention_reference(q, k, v, valid, -10, 0, 0.1)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(oracle),
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(ours[:, 140:, :]), 0.0)
+
+
+def test_blocked_grads_match_oracle_autodiff():
+    from pytorch_kaldi_asr_tpu.ops.banded_attention import (
+        banded_attention_blocked,
+    )
+
+    q, k, v, valid = _inputs(bh=2, s=256, d=16, seed=3, pad_tail=17)
+
+    def loss_blocked(q, k, v):
+        out = banded_attention_blocked(q, k, v, valid, start=-64, end=0,
+                                       scale=0.2)
+        return jnp.sum(out * out)
+
+    def loss_oracle(q, k, v):
+        out = banded_attention_reference(q, k, v, valid, -64, 0, 0.2)
+        return jnp.sum(out * out)
+
+    g1 = jax.grad(loss_blocked, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_blocked_dropout_unbiased():
+    from pytorch_kaldi_asr_tpu.ops.banded_attention import (
+        banded_attention_blocked,
+    )
+
+    q, k, v, valid = _inputs(bh=2, s=128, d=16, seed=5)
+    base = banded_attention_blocked(q, k, v, valid, start=-32, end=0,
+                                    scale=0.2)
+    acc = np.zeros(np.asarray(base).shape, np.float64)
+    n = 200
+    for i in range(n):
+        out = banded_attention_blocked(
+            q, k, v, valid, start=-32, end=0, scale=0.2,
+            dropout_rate=0.35, rng=jax.random.PRNGKey(i),
+        )
+        acc += np.asarray(out, np.float64)
+    err = np.abs(acc / n - np.asarray(base))
+    # 200 Monte-Carlo draws: bound the mean deviation tightly and the
+    # worst element loosely (early rows have tiny in-band support and
+    # correspondingly high estimator variance)
+    assert err.mean() < 0.05
+    np.testing.assert_allclose(acc / n, np.asarray(base), atol=0.3)
