@@ -31,6 +31,12 @@ def main(argv=None):
     parser.add_argument("-num_buckets", type=int, default=1,
                         help="length buckets (>1 reduces padding waste at "
                              "the cost of one compiled shape per bucket)")
+    parser.add_argument("-train_archive_dir", default=None,
+                        help="stream the training set from pre-packed "
+                             ".npz batch archives (recipes/generate_archive) "
+                             "instead of preloading read_train_dir — the "
+                             "large-corpus path (reference "
+                             "ArchiveBatchLoader.py:1-79 role)")
     parser.add_argument("-label_smoothing", action="store_true")
     parser.add_argument("-save_interval", type=int, default=10)
     parser.add_argument("-resume", action="store_true",
@@ -48,9 +54,15 @@ def main(argv=None):
     vocab = read_vocab(opt.read_vocab_file)
 
     info("reading training data...")
-    train_loader = make_batch_loader(opt.read_train_dir, vocab,
-                                     opt.batch_size, mode="drop",
-                                     num_buckets=opt.num_buckets)
+    if opt.train_archive_dir:
+        from pytorch_kaldi_asr_tpu.data.archive import ArchiveBatchLoader
+
+        train_loader = ArchiveBatchLoader(opt.train_archive_dir,
+                                          opt.batch_size, mode="drop")
+    else:
+        train_loader = make_batch_loader(opt.read_train_dir, vocab,
+                                         opt.batch_size, mode="drop",
+                                         num_buckets=opt.num_buckets)
     info("reading dev data...")
     dev_loader = make_batch_loader(opt.read_dev_dir, vocab, opt.batch_size,
                                    mode="all")
