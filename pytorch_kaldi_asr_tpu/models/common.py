@@ -170,9 +170,17 @@ def dropout(x, rate, rng, train):
     fusion barriers — so it is opt-in, not the default.)"""
     if not train or rate == 0.0 or rng is None:
         return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+    # 8-bit threshold draw: 4x less generated RNG traffic than bernoulli's
+    # 32-bit uniform (the step's dropout cost is HBM-bound mask material).
+    # Keep probability is quantized to q/256 and the inverse scale uses the
+    # quantized value, so the estimator stays exactly unbiased; for the
+    # recipe rates (0.1-0.35) the quantization moves the rate by < 0.002.
+    q = round((1.0 - rate) * 256)
+    if q >= 256:
+        return x  # keep-everything after quantization
+    bits = jax.random.bits(rng, x.shape, dtype=jnp.uint8)
+    keep = bits < jnp.uint8(max(q, 1))  # P(keep) = q/256
+    return jnp.where(keep, x * (256.0 / max(q, 1)), 0.0).astype(x.dtype)
 
 
 def xavier_normal(rng, shape, fan_in, fan_out, dtype=jnp.float32):

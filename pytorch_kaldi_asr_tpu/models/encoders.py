@@ -278,7 +278,7 @@ def _conformer_mhsa(p, x, src_mask, cfg, rate, rngs, train):
     start, end = cfg.encoder_sub_sequence
     dtype = cfg.compute_dtype
     residual = x
-    block_q = 128
+    block_q = int(os.environ.get("PKA_CONF_BLOCK_Q", "128"))
     sp = -(-s // block_q) * block_q
     xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0))).astype(dtype)
     h = p["w_qs"].shape[0]
@@ -369,10 +369,12 @@ def conformer_encode(params, cfg, src_seq, src_mask, *, train=False,
         x = _half_ffn(layer["ffn2"], x, cfg, cfg.en_dropout, lrngs, train)
         return x
 
-    # remat each layer in training (PKA_CONFORMER_REMAT=0 disables): the
-    # step is HBM-bandwidth-bound, so recomputing the layer forward in the
-    # backward pass trades idle MXU cycles for saved activation traffic
-    remat = train and os.environ.get("PKA_CONFORMER_REMAT", "1") == "1"
+    # optional per-layer remat (PKA_CONFORMER_REMAT=1 enables).  With the
+    # blocked banded attention the [B,h,S,S] probs no longer exist, so
+    # saving activations beats recomputing them: measured 34 ms vs 47 ms
+    # per full-model grad step at B=100, S=500 on v5e.  Remat remains
+    # available for memory-limited configs (longer S or deeper stacks).
+    remat = train and os.environ.get("PKA_CONFORMER_REMAT", "0") == "1"
     fwd = jax.checkpoint(layer_fwd) if remat else layer_fwd
     for layer in params["layers"]:
         x = fwd(layer, x, rngs.next())

@@ -608,8 +608,12 @@ def banded_attention_blocked(q, k, v, key_valid, *, start, end, scale,
     probs = jax.nn.softmax(logits, axis=-1)
     probs = jnp.where(allowed, probs, 0.0).astype(q.dtype)  # re-zero rule
     if dropout_rate > 0.0 and rng is not None:
-        keep = 1.0 - dropout_rate
-        mask = jax.random.bernoulli(rng, keep, probs.shape)
-        probs = jnp.where(mask, probs / keep, 0).astype(q.dtype)
+        # same 8-bit quantized-threshold draw as models.common.dropout
+        q8 = round((1.0 - dropout_rate) * 256)
+        if q8 < 256:
+            q8 = max(q8, 1)
+            bits = jax.random.bits(rng, probs.shape, dtype=jnp.uint8)
+            probs = jnp.where(bits < jnp.uint8(q8),
+                              probs * (256.0 / q8), 0).astype(q.dtype)
     out = jnp.einsum("bnqk,bnkd->bnqd", probs, v_win)
     return out.reshape(bh, s, v.shape[-1])
