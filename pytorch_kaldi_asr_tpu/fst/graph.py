@@ -91,9 +91,10 @@ def lexicon_fst(lexicon, word_syms, phone_syms, *, sil_phone=None,
     phone_syms_ext = dict(phone_syms)
     next_id = max(phone_syms.values()) + 1 if phone_syms else 1
     for k in range(1, max_k + 1):
-        phone_syms_ext.setdefault(f"#{k}", next_id)
-        next_id += 1
-    phone_syms_ext["#0"] = next_id
+        if f"#{k}" not in phone_syms_ext:
+            phone_syms_ext[f"#{k}"] = next_id
+            next_id += 1
+    phone_syms_ext.setdefault("#0", next_id)
 
     f = Fst()
     if sil_phone is not None:
@@ -233,10 +234,16 @@ def mkgraph(lexicon, lm: NgramLM, word_syms, phone_syms, *, sil_phone=None,
     LG = ops.compose(L.arcsort("olabel"), G)
     LG = ops.determinize(ops.rmepsilon(LG))
     LG = ops.minimize(LG)
-    # strip auxiliary symbols: phone-side #k -> eps, word-side #0 -> eps
-    n_real_phones = max(phone_syms.values())
+    # strip auxiliary symbols BY NAME: phone-side #k -> eps, word-side
+    # #0 -> eps.  (An id-range test would miss #k symbols a supplied
+    # Kaldi-style phones.txt already contains at low ids — they would
+    # survive as bogus "phones" and kill every path through homophones.)
+    n_real_phones = max(
+        (v for k, v in phone_syms.items() if not k.startswith("#")),
+        default=0,
+    )
     imap = {v: EPS for k, v in phone_syms_ext.items()
-            if v > n_real_phones}
+            if k.startswith("#")}
     omap = {word_syms["#0"]: EPS}
     LG = ops.relabel(LG, imap=imap, omap=omap).connect()
     if topo is not None:

@@ -68,6 +68,18 @@ def compose(a: Fst, b: Fst) -> Fst:
                 if f != 2:
                     out.add_arc(s, arc_a.ilabel, EPS, arc_a.weight,
                                 get(arc_a.nextstate, sb, 1))
+                # joint eps-eps move, allowed only from filter state 0:
+                # without it, paths needing BOTH an a-side eps-output move
+                # and a b-side eps-input move between two matches are lost
+                # (a-alone lands in 1 where b-alone is blocked, and vice
+                # versa).  Any interleaving of j a-eps + k b-eps moves is
+                # realizable as min(j,k) joint moves (0->0) followed by the
+                # excess side alone, so this stays duplicate-free.
+                if f == 0:
+                    for arc_b in b_by_ilabel.get(EPS, ()):
+                        out.add_arc(s, arc_a.ilabel, arc_b.olabel,
+                                    arc_a.weight + arc_b.weight,
+                                    get(arc_a.nextstate, arc_b.nextstate, 0))
             else:
                 for arc_b in b_by_ilabel.get(arc_a.olabel, ()):
                     out.add_arc(s, arc_a.ilabel, arc_b.olabel,

@@ -104,11 +104,15 @@ def _banded_self_attention(p, x, src_mask, cfg, rate, rngs, train):
     key_valid = jnp.repeat(src_mask.astype(jnp.int32), h, axis=0)
     scale = 1.0 / float(d_model) ** 0.5
     if train and kernel_ok:
+        # rng=None means "no dropout" everywhere else (models.common.dropout
+        # no-ops) — honor the same contract here rather than substituting a
+        # fixed seed, which would apply the identical mask every step
         key = rngs.next()
         seed = (jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
                 if key is not None else jnp.int32(0))
         out = banded_attention_trainable(
-            qs, ks, vs, key_valid, seed, start, end, scale, float(rate),
+            qs, ks, vs, key_valid, seed, start, end, scale,
+            float(rate) if key is not None else 0.0,
         )
     else:
         if train:

@@ -96,10 +96,16 @@ def apply_proto(params, comps, x, *, train=False, rng=None):
                  if rng is not None else None)
             x = _dropout(x, 1.0 - keep, r, train)
         elif t == "<Splice>":
+            # nnet1 splice semantics: context frames clamp (repeat) at the
+            # utterance edges — NOT a circular shift, which would leak the
+            # other end of the utterance into edge frames
             ctx = [int(c) for c in comp.get("Context", "0").split(":")]
-            parts = []
-            for off in ctx:
-                parts.append(jnp.roll(x, -off, axis=-2))
+            n = x.shape[-2]
+            idx = jnp.arange(n)
+            parts = [
+                jnp.take(x, jnp.clip(idx + off, 0, n - 1), axis=-2)
+                for off in ctx
+            ]
             x = jnp.concatenate(parts, axis=-1)
     return x
 

@@ -110,11 +110,17 @@ def search_lattice(lat, keywords, *, acoustic_scale=1.0, lm_scale=1.0,
                 state = nxt
             if not ok:
                 continue
+            # total posterior is the log-sum over end nodes; the reported
+            # end time comes from the DOMINANT end node (track the max
+            # separately — comparing against the running log-sum would let
+            # an earlier pair outvote the true best contributor)
             logpost = -math.inf
             end_node = None
+            best_contrib = -math.inf
             for node, sc in state.items():
                 contrib = sc + beta[node]
-                if contrib > logpost:
+                if contrib > best_contrib:
+                    best_contrib = contrib
                     end_node = node
                 logpost = lse(logpost, contrib)
             score = math.exp(min(logpost - total, 0.0))

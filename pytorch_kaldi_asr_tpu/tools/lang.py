@@ -313,8 +313,6 @@ def make_phone_bigram_lang(lang_dir, ali_path, out_dir):
 
     os.makedirs(out_dir, exist_ok=True)
     phones = _read_syms(os.path.join(lang_dir, "phones.txt"))
-    id2phone = {v: k for k, v in phones.items()
-                if not k.startswith("#")}
 
     # collapse frame alignments to phone sequences
     seqs = []

@@ -105,11 +105,17 @@ class WordModel:
         return words
 
     def render(self, word_ids, spk_offset, rng):
+        """Returns (feats, word_ends): word_ends[k] is the phone-index
+        boundary after word k, so callers can truncate features and
+        transcript CONSISTENTLY at a word boundary (features and text must
+        stay in sync for the corpus to be decodable)."""
         ids = [self.sil_id]
+        word_ends = []
         for w in word_ids:
             ids.extend(self.prons[w])
             if rng.random() < 0.2:  # occasional inter-word pause
                 ids.append(self.sil_id)
+            word_ends.append(len(ids))
         ids.append(self.sil_id)
 
         durs = np.array(
@@ -135,7 +141,8 @@ class WordModel:
         feats += rng.normal(scale=self.noise, size=feats.shape).astype(
             np.float32
         )
-        return feats
+        frame_ends = np.cumsum(durs)
+        return feats, [int(frame_ends[e - 1]) for e in word_ends]
 
 
 def write_split(data_dir, model, n_utts, spk_seed, utt_seed, *,
@@ -172,7 +179,17 @@ def write_split(data_dir, model, n_utts, spk_seed, utt_seed, *,
                 target = float(np.exp(rng.normal(7.0, 0.55)))
                 target = min(max(target, 150.0), float(max_frames))
                 words = model.sample_sentence(rng, target)
-                feats = model.render(words, offsets[s], rng)[: max_frames]
+                feats, word_frame_ends = model.render(words, offsets[s], rng)
+                if feats.shape[0] > max_frames:
+                    # truncate at the last word boundary that fits, and cut
+                    # the transcript with it — features and text must stay
+                    # in sync for the corpus to be decodable
+                    n_words = sum(1 for e in word_frame_ends
+                                  if e <= max_frames)
+                    n_words = max(n_words, 1)
+                    cut = min(word_frame_ends[n_words - 1], max_frames)
+                    feats = feats[:cut]
+                    words = words[:n_words]
                 w.write(key, feats)
                 total_frames += feats.shape[0]
                 text[key] = " ".join(model.words[i] for i in words)

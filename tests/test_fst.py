@@ -199,3 +199,48 @@ def test_determinize_blowup_guard():
     with pytest.raises(RuntimeError):
         # absurd cap to prove the guard trips
         ops.determinize(f, max_states=0)
+
+
+def test_compose_joint_eps_eps_move():
+    """A path that needs BOTH an a-side eps-output move and a b-side
+    eps-input move between matches must survive composition (the filter's
+    joint eps-eps transition; without it both alone-move orders dead-end)."""
+    a = Fst()
+    s0, s1 = (a.add_state() for _ in range(2))
+    a.start = s0
+    a.add_arc(s0, 1, EPS, 0.25, s1)
+    a.set_final(s1)
+    b = Fst()
+    t0, t1 = (b.add_state() for _ in range(2))
+    b.start = t0
+    b.add_arc(t0, EPS, 5, 0.5, t1)
+    b.set_final(t1)
+    c = ops.compose(a, b)
+    paths = c.paths()
+    assert len(paths) == 1
+    assert paths[0][0] == (1,)
+    assert paths[0][1] == (5,)
+    assert math.isclose(paths[0][2], 0.75)
+
+
+def test_compose_eps_runs_on_both_sides():
+    """j=2 a-eps moves and k=1 b-eps move between two real matches: exactly
+    one composite path (joint move then excess alone moves)."""
+    a = Fst()
+    st = [a.add_state() for _ in range(4)]
+    a.start = st[0]
+    a.add_arc(st[0], 1, 5, 0.0, st[1])
+    a.add_arc(st[1], 2, EPS, 0.0, st[2])
+    a.add_arc(st[2], 3, EPS, 0.0, st[3])
+    a.set_final(st[3])
+    b = Fst()
+    tt = [b.add_state() for _ in range(3)]
+    b.start = tt[0]
+    b.add_arc(tt[0], 5, 7, 0.0, tt[1])
+    b.add_arc(tt[1], EPS, 9, 0.0, tt[2])
+    b.set_final(tt[2])
+    c = ops.compose(a, b)
+    paths = c.paths()
+    assert len(paths) == 1
+    assert paths[0][0] == (1, 2, 3)
+    assert paths[0][1] == (7, 9)

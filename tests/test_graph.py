@@ -183,3 +183,32 @@ def test_latgen_beam_prunes_to_none_when_too_tight():
     assert latgen(graph, junk, beam=0.5) is None or True  # no crash
     res = latgen(graph, posts, beam=30.0, max_active=1)
     assert res is None or res[0]
+
+
+def test_mkgraph_with_preexisting_disambig_in_phone_table():
+    """A Kaldi-style phones.txt often already lists #k symbols.  They must
+    be stripped BY NAME, not by id range, and decoding through homophones
+    (which add_lex_disambig marks with #k) must still work."""
+    lexicon = dict(LEXICON)
+    lexicon["batt"] = ["b", "a", "t"]  # homophone of 'bat' -> needs #1/#2
+    phones = dict(PHONES)
+    phones["#1"] = max(PHONES.values()) + 1  # table-provided disambig ids
+    phones["#2"] = max(PHONES.values()) + 2
+    sentences = SENTENCES + ["batt at tab".split()]
+    lm = train_ngram_lm(sentences, order=2)
+    words = sorted({w for s in sentences for w in s})
+    word_syms = {w: i + 1 for i, w in enumerate(words)}
+    graph, ph_ext = mkgraph(lexicon, lm, word_syms, phones, hmm_loops=True)
+    n_real = max(v for k, v in phones.items() if not k.startswith("#"))
+    for s in range(graph.num_states):
+        for a in graph.arcs[s]:
+            assert a.ilabel <= n_real, "disambig symbol survived stripping"
+    # the homophone path is still decodable end to end ("bat at tab")
+    sent = ["bat", "at", "tab"]
+    phone_ids = [PHONES[p] for w in sent for p in LEXICON[w]]
+    posts = _posts_for(phone_ids, n_real)
+    res = latgen(graph, posts, beam=30.0)
+    assert res is not None
+    id2w = {v: k for k, v in word_syms.items()}
+    hyp = [id2w[w] for w in res[0]]
+    assert hyp in (sent, ["batt", "at", "tab"])

@@ -115,3 +115,22 @@ def test_splice_component():
     x = jnp.arange(2 * 5 * 4, dtype=jnp.float32).reshape(2, 5, 4)
     y = apply_proto(params, comps, x)
     assert y.shape == (2, 5, 12)
+
+
+def test_splice_clamps_at_edges():
+    """nnet1 splice repeats edge frames; a circular shift would leak the
+    far end of the utterance into the edge context slots."""
+    comps = parse_proto(
+        "<NnetProto>\n<Splice> <InputDim> 2 <OutputDim> 6 "
+        "<Context> -1:0:1\n</NnetProto>\n")
+    params = init_proto(jax.random.PRNGKey(0), comps)
+    x = jnp.arange(1 * 4 * 2, dtype=jnp.float32).reshape(1, 4, 2)
+    y = np.asarray(apply_proto(params, comps, x))
+    # frame 0: left context slot must repeat frame 0, not wrap to frame 3
+    np.testing.assert_array_equal(y[0, 0, 0:2], np.asarray(x)[0, 0])
+    np.testing.assert_array_equal(y[0, 0, 2:4], np.asarray(x)[0, 0])
+    np.testing.assert_array_equal(y[0, 0, 4:6], np.asarray(x)[0, 1])
+    # last frame: right context slot repeats the last frame, no wrap to 0
+    np.testing.assert_array_equal(y[0, -1, 0:2], np.asarray(x)[0, -2])
+    np.testing.assert_array_equal(y[0, -1, 2:4], np.asarray(x)[0, -1])
+    np.testing.assert_array_equal(y[0, -1, 4:6], np.asarray(x)[0, -1])
