@@ -41,13 +41,7 @@ def build_triples(feats_scp, text_file, vocab):
     utterances = dict(kaldi_io.scp_entries(feats_scp))
     info("get %d utterances from %s.", len(utterances), feats_scp)
 
-    label_text = {}
-    with open(text_file, encoding="utf-8") as f:
-        for line in f:
-            data = line.split()
-            if data:
-                label_text[data[0]] = data[1:]
-    info("get %d labels from %s.", len(label_text), text_file)
+    label_text = instances_handler.read_instances(text_file)
 
     label_text = instances_handler.add_control_words(label_text)
     label = instances_handler.apply_vocab(label_text, vocab, "word2idx")

@@ -231,7 +231,7 @@ def _prune_lattice(lat, lattice_beam):
         for l in out[u]:
             c = l.cost + bwd[l.end]
             if c < bwd[u]:
-                bwd[u] = min(bwd[u], c)
+                bwd[u] = c
     best = min((fwd[u] + w for u, w in lat.finals.items()), default=INF)
     if best == INF:
         return None

@@ -32,20 +32,52 @@ from pytorch_kaldi_asr_tpu.train.state import (
     make_eval_step,
     make_train_step,
 )
-from pytorch_kaldi_asr_tpu.utils.logging import info, procedure
+from pytorch_kaldi_asr_tpu.utils.logging import info, procedure, warning
+
+
+def _fast_forward_counts(opt_state, step):
+    """Set every integer ``count`` leaf in a fresh optax state to ``step``.
+
+    Used when resuming from a checkpoint that has no saved optimizer state:
+    Adam moments are unrecoverable, but the LR schedule
+    (scale_by_schedule's count) must continue from the global step — a
+    fresh count would silently jump the LR back to start_lr mid-training."""
+    step = jnp_int32(step)
+
+    def fix(path, leaf):
+        names = [getattr(p, "name", None) for p in path]
+        if "count" in names:
+            return jnp.broadcast_to(step, jnp.shape(leaf)).astype(leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, opt_state)
 
 
 def run_train_epoch(state, train_step, loader, prefetch=None):
-    """One full training pass; returns (state, loss/word, accuracy)."""
-    total_loss = total_correct = total_words = 0.0
+    """One full training pass; returns (state, loss/word, accuracy).
+
+    Metrics stay on-device during the epoch (jnp accumulators, converted
+    once at the end): a per-step ``float()`` would force a host sync after
+    every step and stall the device while the host pads the next batch."""
+    total_loss = total_correct = total_words = None
     batches = prefetch(loader) if prefetch else loader
     for batch in batches:
         state, metrics = train_step(
             state, batch.src, batch.src_mask, batch.tgt, batch.tgt_mask
         )
-        total_loss += float(metrics["loss"])
-        total_correct += float(metrics["n_correct"])
-        total_words += float(metrics["n_words"])
+        if total_loss is None:
+            total_loss = metrics["loss"]
+            total_correct = metrics["n_correct"]
+            total_words = metrics["n_words"]
+        else:
+            total_loss = total_loss + metrics["loss"]
+            total_correct = total_correct + metrics["n_correct"]
+            total_words = total_words + metrics["n_words"]
+    if total_loss is None:
+        return state, 0.0, 0.0
+    total_loss = float(total_loss)
+    total_correct = float(total_correct)
+    total_words = float(total_words)
     return state, total_loss / max(total_words, 1), total_correct / max(total_words, 1)
 
 
@@ -114,10 +146,19 @@ def train_model(
         path, last_epoch = latest_epoch_checkpoint(save_model_dir)
         if path is not None:
             ckpt = load_checkpoint(path, template_opt_state=state.opt_state)
+            if ckpt["opt_state"] is not None:
+                opt_state = ckpt["opt_state"]
+            else:
+                # no saved optimizer state: Adam moments restart, but the
+                # LR schedule must continue from the global step
+                warning(
+                    "%s has no opt_state: Adam moments reset; LR schedule "
+                    "fast-forwarded to step %d", path, ckpt["step"])
+                opt_state = _fast_forward_counts(state.opt_state,
+                                                 ckpt["step"])
             state = TrainState(
                 ckpt["params"],
-                ckpt["opt_state"] if ckpt["opt_state"] is not None
-                else state.opt_state,
+                opt_state,
                 jnp_int32(ckpt["step"]),
                 state.rng,
             )
@@ -141,11 +182,45 @@ def train_model(
     # resumed checkpoint — not the passed-in init params — is the best.
     best_accu, best_epoch = -1.0, resumed_epoch
     best_params = jax.device_get(state.params) if resumed_epoch else params
+    if resumed_epoch:
+        # re-establish the pre-crash best from the dev_accu each epoch
+        # checkpoint records — otherwise the first post-resume epoch always
+        # becomes "best" even when a better earlier epoch exists
+        from pytorch_kaldi_asr_tpu.train.checkpoint import (
+            read_checkpoint_config,
+        )
+
+        for name in os.listdir(save_model_dir):
+            if not (name.startswith("epoch.") and name[6:].isdigit()):
+                continue
+            cpath = os.path.join(save_model_dir, name)
+            try:
+                _, meta = read_checkpoint_config(cpath)
+            except (OSError, ValueError):
+                continue
+            accu = meta.get("dev_accu")
+            if accu is not None and accu > best_accu:
+                best_accu, best_epoch = accu, int(name[6:])
+                best_params = None  # lazily loaded below if it stays best
+        if best_params is None:
+            best_params = load_checkpoint(
+                os.path.join(save_model_dir, f"epoch.{best_epoch}")
+            )["params"]
+            info("restored best-so-far from epoch %d (dev accu %3.2f %%)",
+                 best_epoch, 100 * best_accu)
     train_start = time.time()
     for epoch in range(start_epoch, epochs + 1):
         info("trainning epoch %d.", epoch)
         start = time.time()
-        state, loss, accu = run_train_epoch(state, train_step, train_loader)
+        # single-device path: keep 2 batches in flight so host-side padding
+        # overlaps device compute (with a mesh, pjit places shards itself)
+        _prefetch = None
+        if mesh is None:
+            from pytorch_kaldi_asr_tpu.data.loader import prefetch_to_device
+
+            _prefetch = prefetch_to_device
+        state, loss, accu = run_train_epoch(state, train_step, train_loader,
+                                            prefetch=_prefetch)
         info(
             "-----(Training)----- accuracy: %3.2f %%, elapse: %3.2f min",
             100 * accu, (time.time() - start) / 60,
@@ -177,6 +252,7 @@ def train_model(
             save_checkpoint(
                 path, state.params, cfg, epoch=epoch, step=int(state.step),
                 opt_state=state.opt_state if save_opt_state else None,
+                extra={"dev_accu": float(dev_accu)},
             )
             info("checkpoint of epoch %d is saved to %s", epoch, path)
 
@@ -216,16 +292,38 @@ def combine_checkpoints(save_model_dir, best_epoch=None, cfg=None,
             path = os.path.join(save_model_dir, f"epoch.{e}")
             if os.path.isdir(path):
                 candidates.append(path)
+        best_path = os.path.join(save_model_dir, f"epoch.{best_epoch}")
+        if not os.path.isdir(best_path):
+            # save_interval > 1 can leave the best epoch itself unsaved;
+            # the best.epochN.* checkpoint (written at train end) carries
+            # those exact params — lead the average with it rather than
+            # silently averaging without the best model
+            import glob as _glob
+
+            best_saved = sorted(_glob.glob(
+                os.path.join(save_model_dir, f"best.epoch{best_epoch}.*")))
+            if best_saved:
+                candidates.insert(0, best_saved[-1])
+            else:
+                warning(
+                    "epoch.%d (the best epoch) has no checkpoint; "
+                    "averaging the %d nearest saved epochs instead",
+                    best_epoch, len(candidates))
     if not candidates:
         raise FileNotFoundError(
             f"no epoch.* checkpoints under {save_model_dir}"
         )
     info("model loaded (%d candidates)", len(candidates))
 
+    template = None
     best_accu, best_params = -1.0, None
     running = None
     for i, path in enumerate(candidates):
-        ckpt = load_checkpoint(path)
+        # reuse one parameter template across loads: load_checkpoint
+        # otherwise re-runs init_transformer (a full random init) per
+        # candidate just to learn the tree structure
+        ckpt = load_checkpoint(path, template_params=template)
+        template = ckpt["params"]
         if i == 0:
             running = ckpt["params"]
         else:

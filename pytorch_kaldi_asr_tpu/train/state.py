@@ -41,7 +41,10 @@ def create_train_state(params, *, start_lr=0.001, soft_coefficient=25000.0,
     if rng is None:
         rng = jax.random.key(0, impl=rng_impl)
     elif not jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
-        rng = jax.random.wrap_key_data(rng, impl="threefry2x32")
+        # raw key data carries no impl tag: honor the caller's rng_impl
+        # (wrapping under a hardcoded impl would silently change the
+        # dropout stream being resumed/reproduced)
+        rng = jax.random.wrap_key_data(rng, impl=rng_impl)
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32), rng), tx
 
 

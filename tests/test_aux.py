@@ -229,3 +229,80 @@ def test_lm_fst_order1_has_start_state_zero(tmp_path):
     path = arpa_to_fst_text(lm, vocab, str(tmp_path / "g1.fst.txt"))
     first = open(path).readline().split("\t")
     assert first[0] == "0"  # start state anchored
+
+
+def test_resume_restores_precrash_best(tmp_path):
+    """The pre-crash best epoch (recorded as dev_accu in each epoch
+    checkpoint's meta) must survive a resume — the first post-resume epoch
+    must not silently become 'best' when a better earlier epoch exists."""
+    import json as _json
+
+    from pytorch_kaldi_asr_tpu.data.loader import BatchLoader
+    from pytorch_kaldi_asr_tpu.models.transformer import init_transformer
+    from pytorch_kaldi_asr_tpu.train import train_model
+    from tests.test_models import small_cfg
+
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    triples = [
+        (f"u{i}", rng.normal(size=(8, cfg.src_dim)).astype(np.float32),
+         np.array([2, 4, 5, 3]))
+        for i in range(8)
+    ]
+    loader = BatchLoader(triples, batch_size=4, mode="drop")
+    eval_loader = BatchLoader(triples, batch_size=4, mode="all")
+    out = str(tmp_path / "exp")
+    train_model(params, cfg, loader, eval_loader, eval_loader, out,
+                epochs=2, save_interval=1, start_lr=0.01)
+    # forge a pre-crash best: pretend epoch 1 had a dev accuracy no later
+    # epoch will reach
+    meta_path = os.path.join(out, "epoch.1", "meta.json")
+    meta = _json.loads(open(meta_path).read())
+    meta["dev_accu"] = 2.0  # unbeatable (accuracy <= 1)
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    _best, best_epoch, best_accu = train_model(
+        params, cfg, loader, eval_loader, eval_loader, out,
+        epochs=3, save_interval=1, start_lr=0.01, resume=True)
+    assert best_epoch == 1
+    assert best_accu == pytest.approx(2.0)
+
+
+def test_combine_includes_best_checkpoint_with_sparse_saves(tmp_path):
+    """With save_interval > 1 the best epoch often has no epoch.N dir; the
+    combine average must lead with the saved best.* checkpoint instead of
+    silently averaging without the best model."""
+    from pytorch_kaldi_asr_tpu.data.loader import BatchLoader
+    from pytorch_kaldi_asr_tpu.models.transformer import init_transformer
+    from pytorch_kaldi_asr_tpu.train import train_model
+    from pytorch_kaldi_asr_tpu.train.loop import combine_checkpoints
+    from tests.test_models import small_cfg
+
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    triples = [
+        (f"u{i}", rng.normal(size=(8, cfg.src_dim)).astype(np.float32),
+         np.array([2, 4, 5, 3]))
+        for i in range(8)
+    ]
+    loader = BatchLoader(triples, batch_size=4, mode="drop")
+    eval_loader = BatchLoader(triples, batch_size=4, mode="all")
+    out = str(tmp_path / "exp")
+    _best, best_epoch, _accu = train_model(
+        params, cfg, loader, eval_loader, eval_loader, out,
+        epochs=9, save_interval=4, start_lr=0.01)
+    # epoch dirs: 4 and 5 (final window).  Force a best epoch with no dir:
+    sparse_best = 2
+    assert not os.path.isdir(os.path.join(out, f"epoch.{sparse_best}"))
+    from pytorch_kaldi_asr_tpu.train import save_checkpoint
+
+    # fresh arrays: the jitted train step donated (deleted) `params`
+    best_params = init_transformer(jax.random.PRNGKey(1), cfg)
+    save_checkpoint(os.path.join(out, f"best.epoch{sparse_best}.accu50.00"),
+                    best_params, cfg, epoch=sparse_best,
+                    extra={"dev_accu": 0.5})
+    p, accu, path = combine_checkpoints(out, sparse_best, cfg, eval_loader,
+                                        num_model=3)
+    assert os.path.isdir(path)
