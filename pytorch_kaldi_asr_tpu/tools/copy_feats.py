@@ -14,9 +14,14 @@ import sys
 from pytorch_kaldi_asr_tpu.io import kaldi_io
 
 
-def copy_feats(rspecifier, wspecifier):
+# Kaldi's --compression-method numbering (kAutomaticMethod=1 picks the
+# column-header format for real feature matrices)
+_METHODS = {1: "CM", 2: "CM", 3: "CM2", 4: "CM3"}
+
+
+def copy_feats(rspecifier, wspecifier, compress=False):
     n = 0
-    with kaldi_io.open_writer(wspecifier) as w:
+    with kaldi_io.open_writer(wspecifier, compress=compress) as w:
         for key, mat in kaldi_io.read_table(rspecifier):
             w.write(key, mat)
             n += 1
@@ -25,10 +30,25 @@ def copy_feats(rspecifier, wspecifier):
 
 def main(argv=None):
     argv = list(argv or sys.argv[1:])
-    if len(argv) != 2:
-        print("usage: copy_feats <rspecifier> <wspecifier>", file=sys.stderr)
+    compress, method = False, 1
+    pos = []
+    for a in argv:
+        if a.startswith("--compression-method"):
+            method = int(a.partition("=")[2])
+        elif a.startswith("--compress"):
+            _, _, v = a.partition("=")
+            compress = v.lower() in ("", "true", "1")
+        else:
+            pos.append(a)
+    if len(pos) != 2:
+        print(
+            "usage: copy_feats [--compress=true] [--compression-method=N] "
+            "<rspecifier> <wspecifier>",
+            file=sys.stderr,
+        )
         return 1
-    n = copy_feats(argv[0], argv[1])
+    n = copy_feats(pos[0], pos[1],
+                   compress=_METHODS.get(method, "CM") if compress else False)
     print(f"[INFO] copied {n} feature matrices", file=sys.stderr)
     return 0
 

@@ -190,3 +190,65 @@ def test_compressed_writer_roundtrip(tmp_path):
     if native.available():
         (key, rx), = kaldi_io.scp_entries(str(scp))
         np.testing.assert_allclose(native.read_mat(rx), got, atol=1e-6)
+
+
+def test_compressed_writer_cm1_roundtrip(tmp_path):
+    """CM (default Kaldi method): per-column percentile headers.  The
+    writer-encoded stream must decode within one piecewise-segment step
+    per band, by both the Python and the native reader."""
+    rng = np.random.default_rng(10)
+    mat = rng.normal(scale=5.0, size=(40, 13)).astype(np.float32)
+    ark, scp = tmp_path / "cm1.ark", tmp_path / "cm1.scp"
+    with kaldi_io.ArkWriter(str(ark), str(scp), compress="CM") as w:
+        w.write("u1", mat)
+    got = dict(kaldi_io.read_mat_scp(str(scp)))["u1"]
+    assert got.shape == mat.shape
+    # worst-case step: a tail band spanning (p25-p0) in 64 codes, plus the
+    # uint16 percentile quantization itself
+    rg = float(mat.max() - mat.min())
+    per_col_err = np.abs(got - mat).max(axis=0)
+    assert per_col_err.max() < rg / 60
+    # column-header format stores codes column-major: ~1 byte/elem + headers
+    assert ark.stat().st_size < mat.size * 1.5 + 13 * 8 + 64
+    from pytorch_kaldi_asr_tpu import native
+
+    if native.available():
+        (key, rx), = kaldi_io.scp_entries(str(scp))
+        np.testing.assert_allclose(native.read_mat(rx), got, atol=1e-6)
+
+
+def test_compressed_writer_cm1_short_and_constant_columns(tmp_path):
+    """CM edge cases: fewer than 5 rows (degenerate percentiles) and a
+    constant column (forced one-step header separation)."""
+    mat = np.array(
+        [[1.0, 7.0], [1.0, 3.0], [1.0, 5.0]], dtype=np.float32
+    )
+    ark = tmp_path / "edge.ark"
+    with kaldi_io.ArkWriter(str(ark), compress="CM") as w:
+        w.write("u", mat)
+    got = dict(kaldi_io.read_mat_ark(str(ark)))["u"]
+    assert np.abs(got - mat).max() < 0.1
+
+
+def test_compressed_writer_cm3_roundtrip(tmp_path):
+    rng = np.random.default_rng(11)
+    mat = rng.normal(scale=2.0, size=(25, 9)).astype(np.float32)
+    ark, scp = tmp_path / "cm3.ark", tmp_path / "cm3.scp"
+    with kaldi_io.ArkWriter(str(ark), str(scp), compress="CM3") as w:
+        w.write("u1", mat)
+    got = dict(kaldi_io.read_mat_scp(str(scp)))["u1"]
+    rg = float(mat.max() - mat.min())
+    assert np.abs(got - mat).max() <= rg / 255 + 1e-6
+    assert ark.stat().st_size < mat.size * 1.2 + 64
+    from pytorch_kaldi_asr_tpu import native
+
+    if native.available():
+        (key, rx), = kaldi_io.scp_entries(str(scp))
+        np.testing.assert_allclose(native.read_mat(rx), got, atol=1e-6)
+
+
+def test_compressed_writer_rejects_unknown_method(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        kaldi_io.ArkWriter(str(tmp_path / "x.ark"), compress="CM4")

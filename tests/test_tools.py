@@ -256,6 +256,32 @@ def test_copy_feats_roundtrip(tmp_path):
         np.testing.assert_allclose(got_t[k], mats[k], rtol=1e-5)
 
 
+def test_copy_feats_compress_flag(tmp_path):
+    """--compress / --compression-method surface (kaldi copy-feats flags)."""
+    from pytorch_kaldi_asr_tpu.tools import copy_feats as cf
+
+    rng = np.random.default_rng(12)
+    mat = rng.normal(size=(30, 8)).astype(np.float32)
+    with kaldi_io.ArkWriter(str(tmp_path / "a.ark"),
+                            str(tmp_path / "a.scp")) as w:
+        w.write("u0", mat)
+    rc = cf.main([
+        "--compress=true", "--compression-method=3",
+        f"scp:{tmp_path}/a.scp", f"ark:{tmp_path}/c.ark",
+    ])
+    assert rc == 0
+    blob = (tmp_path / "c.ark").read_bytes()
+    assert b"CM2 " in blob[:16]
+    got = dict(kaldi_io.read_mat_ark(f"{tmp_path}/c.ark"))["u0"]
+    rg = float(mat.max() - mat.min())
+    assert np.abs(got - mat).max() <= rg / 65535 + 1e-6
+    # automatic method (1) -> column-header CM format
+    rc = cf.main(["--compress", f"scp:{tmp_path}/a.scp",
+                  f"ark:{tmp_path}/c1.ark"])
+    assert rc == 0
+    assert b"\x00BCM " in (tmp_path / "c1.ark").read_bytes()[:16]
+
+
 def test_transforms_generators():
     from pytorch_kaldi_asr_tpu.tools.transforms import (
         dct_matrix,
