@@ -15,7 +15,6 @@ import os
 import numpy as np
 
 from pytorch_kaldi_asr_tpu.decode.latgen import decode_posterior_ark
-from pytorch_kaldi_asr_tpu.fst.core import Fst
 from pytorch_kaldi_asr_tpu.io.kaldi_io import read_mat_ark, read_mat_scp
 from pytorch_kaldi_asr_tpu.recipes.mkgraph import read_symbol_table
 from pytorch_kaldi_asr_tpu.utils.logging import info
@@ -35,11 +34,17 @@ def main(argv=None):
     parser.add_argument("-lattice_beam", type=float, default=8.0)
     parser.add_argument("-save_lattice_file", default=None,
                         help="also emit pruned word lattices (kaldi text)")
+    parser.add_argument("-save_lattice_ark", default=None,
+                        help="also emit Kaldi BINARY CompactLattice ark "
+                             "(+ .scp next to it)")
     parser.add_argument("-save_slf", default=None,
                         help="also emit HTK SLF lattices (file or dir)")
     opt = parser.parse_args(argv)
 
-    graph = Fst.read_binary(os.path.join(opt.graph_dir, "HLG.fst"))
+    from pytorch_kaldi_asr_tpu.fst.openfst_io import read_fst
+
+    # read_fst accepts both VectorFst and ConstFst HLG graphs
+    graph = read_fst(os.path.join(opt.graph_dir, "HLG.fst"))
     word_syms = read_symbol_table(os.path.join(opt.graph_dir, "words.txt"))
     log_priors = np.load(opt.priors_file) if opt.priors_file else None
 
@@ -47,7 +52,7 @@ def main(argv=None):
     reader = read_mat_scp(path) if kind == "scp" else read_mat_ark(path)
 
     n = 0
-    if opt.save_lattice_file or opt.save_slf:
+    if opt.save_lattice_file or opt.save_slf or opt.save_lattice_ark:
         from pytorch_kaldi_asr_tpu.decode.latgen import latgen_lattice
         from pytorch_kaldi_asr_tpu.decode.lattice_io import write_slf_file
 
@@ -74,6 +79,11 @@ def main(argv=None):
                     f.write(f"{lat.utt}\n")
                     lat.write_kaldi_text(f)
                     f.write("\n")
+        if opt.save_lattice_ark:
+            from pytorch_kaldi_asr_tpu.fst.openfst_io import write_lattice_ark
+
+            write_lattice_ark(lats, opt.save_lattice_ark, word_syms,
+                              scp_path=opt.save_lattice_ark + ".scp")
         if opt.save_slf:
             write_slf_file(lats, opt.save_slf)
     else:

@@ -67,6 +67,11 @@ def main(argv=None):
     parser.add_argument("-topo", default=None,
                         help="HMM topology file (gen_topo format); "
                              "overrides the 1-state self-loop default")
+    parser.add_argument("-fst_type", choices=("vector", "const"),
+                        default="vector",
+                        help="HLG.fst on-disk layout (fstconvert "
+                             "--fst_type=const role, reference "
+                             "mkgraph.sh:128-129)")
     parser.add_argument("-graph_dir", required=True)
     opt = parser.parse_args(argv)
 
@@ -96,7 +101,12 @@ def main(argv=None):
         self_loop_prob=opt.self_loop_prob, topo=topo,
     )
     os.makedirs(opt.graph_dir, exist_ok=True)
-    graph.write_binary(os.path.join(opt.graph_dir, "HLG.fst"))
+    if opt.fst_type == "const":
+        from pytorch_kaldi_asr_tpu.fst.openfst_io import write_const_fst
+
+        write_const_fst(graph, os.path.join(opt.graph_dir, "HLG.fst"))
+    else:
+        graph.write_binary(os.path.join(opt.graph_dir, "HLG.fst"))
     write_symbol_table(os.path.join(opt.graph_dir, "words.txt"), word_syms)
     write_symbol_table(os.path.join(opt.graph_dir, "phones.txt"),
                        phone_syms_ext)

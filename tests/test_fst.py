@@ -244,3 +244,178 @@ def test_compose_eps_runs_on_both_sides():
     assert len(paths) == 1
     assert paths[0][0] == (1, 2, 3)
     assert paths[0][1] == (7, 9)
+
+
+# ---------------------------------------------------------------------------
+# OpenFst byte-level interchange (fst/openfst_io.py)
+# ---------------------------------------------------------------------------
+
+
+def test_vector_fst_golden_bytes(tmp_path):
+    """Pin write_binary to the exact OpenFst VectorFst<StdArc> stream:
+    a reader implementing OpenFst's documented layout must accept our
+    files byte-for-byte.  Expected bytes are hand-assembled here, not
+    produced by the code under test."""
+    import struct
+
+    f = Fst()
+    s0, s1 = f.add_state(), f.add_state()
+    f.start = s0
+    f.add_arc(s0, 3, 4, 0.5, s1)
+    f.set_final(s1, 0.25)
+    p = str(tmp_path / "g.fst")
+    f.write_binary(p)
+
+    expect = b"".join([
+        struct.pack("<i", 2125659606),              # kFstMagicNumber
+        struct.pack("<i", 6), b"vector",            # fsttype
+        struct.pack("<i", 8), b"standard",          # arctype
+        struct.pack("<i", 2),                       # version
+        struct.pack("<i", 0),                       # flags (no symtabs)
+        struct.pack("<Q", 0),                       # properties
+        struct.pack("<q", 0),                       # start
+        struct.pack("<q", 2),                       # numstates
+        struct.pack("<q", 1),                       # numarcs
+        struct.pack("<f", math.inf),                # state0 final = Zero
+        struct.pack("<q", 1),                       # state0 narcs
+        struct.pack("<iifi", 3, 4, 0.5, 1),         # the arc
+        struct.pack("<f", 0.25),                    # state1 final
+        struct.pack("<q", 0),                       # state1 narcs
+    ])
+    assert open(p, "rb").read() == expect
+
+
+def test_read_const_fst_v2_and_aligned_v1(tmp_path):
+    """ConstFst reading: hand-assembled version-2 (unaligned) and
+    version-1 (16-byte-aligned) streams decode to the same machine."""
+    import struct
+
+    from pytorch_kaldi_asr_tpu.fst import openfst_io
+
+    def const_bytes(version):
+        out = [
+            struct.pack("<i", 2125659606),
+            struct.pack("<i", 5), b"const",
+            struct.pack("<i", 8), b"standard",
+            struct.pack("<ii", version, 0),
+            struct.pack("<Q", 1),
+            struct.pack("<qqq", 0, 2, 2),
+        ]
+        blob = b"".join(out)
+        if version == 1:
+            blob += b"\0" * ((-len(blob)) % 16)
+        # states: {final, pos, narcs, nieps, noeps}
+        blob += struct.pack("<fIIII", math.inf, 0, 2, 1, 0)
+        blob += struct.pack("<fIIII", 0.75, 2, 0, 0, 0)
+        if version == 1:
+            blob += b"\0" * ((-len(blob)) % 16)
+        blob += struct.pack("<iifi", 0, 9, 0.5, 1)
+        blob += struct.pack("<iifi", 2, 2, 1.5, 1)
+        return blob
+
+    for version in (2, 1):
+        p = tmp_path / f"c{version}.fst"
+        p.write_bytes(const_bytes(version))
+        g = openfst_io.read_fst(str(p))
+        assert g.start == 0
+        assert g.num_states == 2
+        assert g.final_weight(1) == 0.75
+        arcs = [(a.ilabel, a.olabel, a.weight, a.nextstate)
+                for a in g.arcs[0]]
+        assert arcs == [(0, 9, 0.5, 1), (2, 2, 1.5, 1)]
+
+
+def test_const_fst_write_read_roundtrip(tmp_path):
+    from pytorch_kaldi_asr_tpu.fst import openfst_io
+
+    f = linear_fst([(1, 2), (3, 4), (5, 6)])
+    f.add_arc(0, 7, 8, 1.25, 2)
+    pv = str(tmp_path / "v.fst")
+    pc = str(tmp_path / "c.fst")
+    f.write_binary(pv)
+    openfst_io.write_const_fst(f, pc)
+    gv = openfst_io.read_fst(pv)
+    gc = openfst_io.read_fst(pc)
+    assert ops.equivalent_paths(gv, gc)
+    assert ops.equivalent_paths(f, gc)
+
+
+def test_binary_lattice_ark_roundtrip(tmp_path):
+    from pytorch_kaldi_asr_tpu.decode.lattice_io import WordLattice
+    from pytorch_kaldi_asr_tpu.fst import openfst_io
+
+    word2id = {"hello": 5, "world": 6, "now": 7}
+    id2word = {v: k for k, v in word2id.items()}
+
+    lat = WordLattice(utt="utt1")
+    n0 = lat.add_node(0)
+    n1 = lat.add_node(10)
+    n2 = lat.add_node(25)
+    lat.add_link(n0, n1, "hello", acoustic=1.5, graph=0.25)
+    lat.add_link(n0, n1, "now", acoustic=2.0, graph=0.5)
+    lat.add_link(n1, n2, "world", acoustic=3.0, graph=0.75)
+    lat.finals[n2] = 0.125
+
+    lat2 = WordLattice(utt="utt2")
+    m0 = lat2.add_node(0)
+    m1 = lat2.add_node(7)
+    lat2.add_link(m0, m1, "hello", acoustic=0.5, graph=0.0)
+    lat2.finals[m1] = 0.0
+
+    ark = str(tmp_path / "lat.ark")
+    scp = str(tmp_path / "lat.scp")
+    openfst_io.write_lattice_ark([lat, lat2], ark, word2id, scp_path=scp)
+
+    got = dict(openfst_io.read_lattice_ark(ark, id2word))
+    assert set(got) == {"utt1", "utt2"}
+    g = got["utt1"]
+    assert g.node_times == [0, 10, 25]
+    assert g.finals == {2: 0.125}
+    links = sorted((l.start, l.end, l.word, l.acoustic, l.graph)
+                   for l in g.links)
+    assert links == [(0, 1, "hello", 1.5, 0.25), (0, 1, "now", 2.0, 0.5),
+                     (1, 2, "world", 3.0, 0.75)]
+    # best path survives the roundtrip
+    assert g.best_path()[0] == ["hello", "world"]
+    # scp offsets point at the binary markers
+    for line in open(scp):
+        key, rx = line.split()
+        path, off = rx.rsplit(":", 1)
+        with open(path, "rb") as fh:
+            fh.seek(int(off))
+            assert fh.read(2) == b"\x00B"
+
+
+def test_compact_lattice_golden_header(tmp_path):
+    """Pin the compactlattice44 stream prefix: magic + type strings +
+    header ints, then state 0's CompactLatticeWeight Zero final."""
+    import io
+    import struct
+
+    from pytorch_kaldi_asr_tpu.decode.lattice_io import WordLattice
+    from pytorch_kaldi_asr_tpu.fst import openfst_io
+
+    lat = WordLattice(utt="u")
+    n0 = lat.add_node(0)
+    n1 = lat.add_node(2)
+    lat.add_link(n0, n1, "w", acoustic=1.0, graph=0.5)
+    lat.finals[n1] = 0.0
+    buf = io.BytesIO()
+    openfst_io.write_compact_lattice(lat, buf, {"w": 3})
+    blob = buf.getvalue()
+    expect_prefix = b"".join([
+        struct.pack("<i", 2125659606),
+        struct.pack("<i", 6), b"vector",
+        struct.pack("<i", 16), b"compactlattice44",
+        struct.pack("<ii", 2, 0),
+        struct.pack("<Q", 0),
+        struct.pack("<qqq", 0, 2, 1),
+        # state 0: final = CompactLatticeWeight::Zero = (inf, inf, empty)
+        struct.pack("<ff", math.inf, math.inf), struct.pack("<i", 0),
+        struct.pack("<q", 1),                    # narcs
+        struct.pack("<ii", 3, 3),                # acceptor labels
+        struct.pack("<ff", 0.5, 1.0),            # (graph, acoustic)
+        struct.pack("<i", 2), struct.pack("<ii", 1, 1),  # 2-frame string
+        struct.pack("<i", 1),                    # nextstate
+    ])
+    assert blob.startswith(expect_prefix)

@@ -199,3 +199,91 @@ def test_write_segments_format():
     assert parts[1] == "rec1"
     assert float(parts[3]) > float(parts[2])
     assert parts[0].startswith("rec1-")
+
+
+def test_binary_lattice_ark_interchange(graph_and_syms, lattice, tmp_path):
+    """A real latgen lattice roundtrips through the Kaldi binary
+    CompactLattice ark and the lattice-copy CLI (binary -> text -> binary)
+    preserving structure, scores, and the best path."""
+    from pytorch_kaldi_asr_tpu.fst.openfst_io import (
+        read_lattice_ark,
+        write_lattice_ark,
+    )
+    from pytorch_kaldi_asr_tpu.tools import lattice_copy
+
+    _, word_syms = graph_and_syms
+    id2word = {v: k for k, v in word_syms.items()}
+    ark = str(tmp_path / "lat.ark")
+    write_lattice_ark([lattice], ark, word_syms,
+                      scp_path=str(tmp_path / "lat.scp"))
+    (utt, got), = list(read_lattice_ark(ark, id2word))
+    assert utt == lattice.utt
+    assert got.num_nodes == lattice.num_nodes
+    assert len(got.links) == len(lattice.links)
+    assert got.best_path()[0] == lattice.best_path()[0]
+    assert math.isclose(got.best_path()[1], lattice.best_path()[1],
+                        rel_tol=1e-5)
+
+    # CLI: binary -> text -> binary
+    words_txt = tmp_path / "words.txt"
+    words_txt.write_text("".join(f"{w} {i}\n" for w, i in word_syms.items()))
+    assert lattice_copy.main([
+        "-words", str(words_txt), f"ark:{ark}",
+        f"ark,t:{tmp_path}/lat.txt"]) == 0
+    assert lattice_copy.main([
+        "-words", str(words_txt), f"ark,t:{tmp_path}/lat.txt",
+        f"ark,scp:{tmp_path}/lat2.ark,{tmp_path}/lat2.scp"]) == 0
+    (utt2, got2), = list(read_lattice_ark(str(tmp_path / "lat2.ark"),
+                                          id2word))
+    assert utt2 == lattice.utt
+    assert got2.best_path()[0] == lattice.best_path()[0]
+
+
+def test_mkgraph_latgen_cli_const_fst_and_binary_ark(tmp_path):
+    """End-to-end CLI path: mkgraph -fst_type const -> latgen reads the
+    ConstFst graph, decodes a posterior ark, and emits a binary
+    CompactLattice ark alongside the text outputs."""
+    from pytorch_kaldi_asr_tpu.fst.openfst_io import read_lattice_ark
+    from pytorch_kaldi_asr_tpu.io.kaldi_io import ArkWriter
+    from pytorch_kaldi_asr_tpu.lm.arpa import write_arpa
+    from pytorch_kaldi_asr_tpu.lm.ngram import train_ngram_lm
+    from pytorch_kaldi_asr_tpu.recipes import latgen as latgen_cli
+    from pytorch_kaldi_asr_tpu.recipes import mkgraph as mkgraph_cli
+
+    phones_txt = tmp_path / "phones.txt"
+    phones_txt.write_text("".join(f"{p} {i}\n" for p, i in PHONES.items()))
+    lex_txt = tmp_path / "lexicon.txt"
+    lex_txt.write_text("".join(
+        f"{w} {' '.join(ph)}\n" for w, ph in LEXICON.items()))
+    lm_path = str(tmp_path / "lm.arpa")
+    write_arpa(train_ngram_lm(SENTS, order=2), lm_path)
+
+    gdir = str(tmp_path / "graph")
+    assert mkgraph_cli.main([
+        "-phones", str(phones_txt), "-lexicon", str(lex_txt),
+        "-lm", lm_path, "-fst_type", "const", "-graph_dir", gdir,
+    ]) == 0
+    # the graph really is a ConstFst on disk
+    blob = open(f"{gdir}/HLG.fst", "rb").read()
+    assert b"const" in blob[:16]
+
+    sent = ["bat", "at", "tab"]
+    phone_ids = [PHONES[p] for w in sent for p in LEXICON[w]]
+    posts = _posts_for(phone_ids, len(PHONES), seed=3)
+    ark = str(tmp_path / "post.ark")
+    with ArkWriter(ark) as w:
+        w.write("u1", posts.astype("float32"))
+
+    out = str(tmp_path / "hyp.txt")
+    lat_ark = str(tmp_path / "lat.ark")
+    assert latgen_cli.main([
+        "-graph_dir", gdir, "-rspecifier", f"ark:{ark}",
+        "-save_result_file", out, "-beam", "30.0",
+        "-save_lattice_ark", lat_ark,
+    ]) == 0
+    assert open(out).read().split()[1:] == sent
+    word_syms = mkgraph_cli.read_symbol_table(f"{gdir}/words.txt")
+    id2word = {v: k for k, v in word_syms.items()}
+    (utt, lat), = list(read_lattice_ark(lat_ark, id2word))
+    assert utt == "u1"
+    assert lat.best_path()[0] == sent
