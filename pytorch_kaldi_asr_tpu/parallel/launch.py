@@ -16,6 +16,10 @@ SURVEY.md §2b/§5.8), preserving their uniform CLI contract::
   preserved and logs collected locally — the ssh.pl role
   (reference kaldi/utils/ssh.pl:1-218).  The ssh binary is overridable via
   $PKA_SSH (used by tests; also handy for custom rsh wrappers).
+- ``--backend sge|slurm|pbs`` submits the array to a real batch scheduler
+  instead (queue.pl/slurm.pl/pbs.pl roles) via parallel/batch.py: wrapper
+  script + qsub/sbatch + sync-file polling; ``-q QUEUE`` and ``-l RES``
+  are forwarded as scheduler resources.
 
 In-process parallelism on TPU is the mesh (parallel/mesh.py); multi-host
 SPMD jobs join one runtime via parallel/multihost.py — this launcher covers
@@ -103,6 +107,9 @@ def launch(argv):
     max_jobs = 0
     retries = 0
     hosts = None
+    backend = None
+    queue_name = None
+    resources = []
     while argv and (argv[0].startswith("--") or argv[0] in ("-q", "-l")):
         opt = argv.pop(0)
         if opt.startswith("--max-jobs"):
@@ -112,8 +119,12 @@ def launch(argv):
         elif opt.startswith("--hosts"):
             hosts = read_hosts(
                 opt.split("=", 1)[1] if "=" in opt else argv.pop(0))
-        elif opt in ("-q", "-l"):  # accepted+ignored queue.pl resource flags
-            argv.pop(0)
+        elif opt.startswith("--backend"):
+            backend = opt.split("=", 1)[1] if "=" in opt else argv.pop(0)
+        elif opt == "-q":  # queue.pl resource flags, honored by --backend
+            queue_name = argv.pop(0)
+        elif opt == "-l":
+            resources.append(argv.pop(0))
         else:
             raise SystemExit(f"unknown option {opt}")
 
@@ -127,9 +138,27 @@ def launch(argv):
 
     if len(argv) < 2:
         raise SystemExit(
-            "usage: launch [--max-jobs N] [JOB=1:N] <log-file> <command...>"
+            "usage: launch [--max-jobs N] [--backend sge|slurm|pbs] "
+            "[JOB=1:N] <log-file> <command...>"
         )
     log_file, command = argv[0], argv[1:]
+
+    if backend:
+        from pytorch_kaldi_asr_tpu.parallel import batch
+
+        jobs = list(job_range) if job_range is not None else [1]
+        failed = batch.submit_and_wait(
+            backend, log_file, command, jobs,
+            queue=queue_name, resources=resources,
+        )
+        if failed:
+            print(
+                f"launch: {failed} / {len(jobs)} failed, log is in "
+                f"{_expand(log_file, '*')}",
+                file=sys.stderr,
+            )
+            return 1
+        return 0
 
     if job_range is None:
         code = run_job_with_retries(log_file, command, retries=retries,
