@@ -36,9 +36,12 @@ def _flagship_setup(encoder_type=None):
     import jax.numpy as jnp
 
     encoder_type = encoder_type or os.environ.get("BENCH_MODEL", "tdnn")
+    extra = {}
+    if os.environ.get("BENCH_STREAM", "") == "bf16":
+        extra["conformer_stream_dtype"] = jnp.bfloat16
     cfg = TransformerConfig(
         src_dim=SRC_DIM, vocab_size=VOCAB, compute_dtype=jnp.bfloat16,
-        encoder_type=encoder_type,
+        encoder_type=encoder_type, **extra,
     )
     rng = np.random.default_rng(0)
     lda_in = SRC_DIM * len(cfg.lda_context)

@@ -99,11 +99,26 @@ def layer_norm(z, gamma, beta, eps=1e-3, skip_len1=True):
     """
     if skip_len1 and z.shape[1] == 1:
         return z
-    mu = jnp.mean(z, axis=-1, keepdims=True)
-    var = jnp.sum((z - mu) ** 2, axis=-1, keepdims=True) / (z.shape[-1] - 1)
+    # statistics always in f32 (bit-identical for f32 inputs; for a bf16
+    # residual stream the casts fuse into the LN fusion, halving the HBM
+    # traffic of the stream without touching the normalization math)
+    zf = z.astype(jnp.float32)
+    n = z.shape[-1]
+    if z.dtype == jnp.bfloat16:
+        # one-pass moments for the bf16 stream: E[x], E[x^2] come out of a
+        # single read of z (the two-pass centered form reads z twice before
+        # the normalize pass).  The cancellation risk of the sum-of-squares
+        # form is negligible at activation scale in f32.
+        s1 = jnp.sum(zf, axis=-1, keepdims=True)
+        s2 = jnp.sum(zf * zf, axis=-1, keepdims=True)
+        mu = s1 / n
+        var = jnp.maximum(s2 - n * mu * mu, 0.0) / (n - 1)
+    else:
+        mu = jnp.mean(zf, axis=-1, keepdims=True)
+        var = jnp.sum((zf - mu) ** 2, axis=-1, keepdims=True) / (n - 1)
     sigma = jnp.sqrt(var)
-    out = (z - mu) / (sigma + eps)
-    return out * gamma + beta
+    out = (zf - mu) / (sigma + eps)
+    return (out * gamma + beta).astype(z.dtype)
 
 
 def splice_frames(x, context):

@@ -88,6 +88,12 @@ class TransformerConfig:
     # 'conformer', 'tdnnf' (see models/encoders.py).
     encoder_type: str = "tdnn"
     conformer_kernel: int = 15
+    # Conformer residual-stream dtype.  float32 (default) keeps the
+    # pinned semantics; bfloat16 halves the stream's HBM traffic and the
+    # f32 VPU elementwise mix between matmuls (LN statistics stay f32
+    # inside layer_norm either way).  Training-quality-neutral at recipe
+    # scale (see tests/test_encoders.py bf16-stream test).
+    conformer_stream_dtype: Any = jnp.float32
     tdnnf_bottleneck: int = 64
     # banded-encoder attention dispatch: None = auto (Pallas kernel on TPU
     # for S >= 1024), True = always kernel, False = always the masked XLA

@@ -603,10 +603,25 @@ def banded_attention_blocked(q, k, v, key_valid, *, start, end, scale,
     q_blk = q.reshape(bh, nb, block_q, d)
     logits = jnp.einsum("bnqd,bnkd->bnqk", q_blk, k_win) * scale
     allowed = band[None, None] & (valid_win[:, :, None, :] > 0)
-    neg = jnp.finfo(jnp.float32).min
-    logits = jnp.where(allowed, logits.astype(jnp.float32), neg)
-    probs = jax.nn.softmax(logits, axis=-1)
-    probs = jnp.where(allowed, probs, 0.0).astype(q.dtype)  # re-zero rule
+    if q.dtype == jnp.bfloat16:
+        # low-traffic softmax for the bf16 path: exp on bf16 (the [BH, nb,
+        # block_q, W] tensors stay at 2 bytes), row max/sum reduced in f32.
+        # Masked cells get exp(-inf) = 0 so the re-zero rule is automatic;
+        # fully-masked rows divide by the epsilon and stay all-zero.
+        neg = jnp.float32(jnp.finfo(jnp.float32).min)
+        lf = jnp.where(allowed, logits.astype(jnp.float32), neg)
+        m = jax.lax.stop_gradient(jnp.max(lf, axis=-1, keepdims=True))
+        m = jnp.maximum(m, neg / 2)  # fully-masked rows: avoid -inf - -inf
+        e = jnp.exp((lf - m).astype(jnp.bfloat16).astype(jnp.float32)
+                    ).astype(jnp.bfloat16)
+        ssum = jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+        probs = (e / jnp.maximum(ssum, 1e-30).astype(jnp.bfloat16)
+                 ).astype(q.dtype)
+    else:
+        neg = jnp.finfo(jnp.float32).min
+        logits = jnp.where(allowed, logits.astype(jnp.float32), neg)
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs = jnp.where(allowed, probs, 0.0).astype(q.dtype)  # re-zero
     if dropout_rate > 0.0 and rng is not None:
         # same 8-bit quantized-threshold draw as models.common.dropout
         q8 = round((1.0 - dropout_rate) * 256)

@@ -33,6 +33,7 @@ from pytorch_kaldi_asr_tpu.models.transformer import (
 def _config_to_json(cfg):
     d = dataclasses.asdict(cfg)
     d["compute_dtype"] = np.dtype(cfg.compute_dtype).name
+    d["conformer_stream_dtype"] = np.dtype(cfg.conformer_stream_dtype).name
     return d
 
 
@@ -41,6 +42,8 @@ def _config_from_json(d):
 
     d = dict(d)
     d["compute_dtype"] = jnp.dtype(d.get("compute_dtype", "float32"))
+    d["conformer_stream_dtype"] = jnp.dtype(
+        d.get("conformer_stream_dtype", "float32"))
     for key in ("encoder_sub_sequence", "decoder_sub_sequence", "lda_context"):
         if key in d:
             d[key] = tuple(d[key])

@@ -105,7 +105,8 @@ if [ $stage -le 3 ]; then
         -d_v 64 \
         -en_dropout 0.1 \
         -de_dropout 0.1 \
-        -encoder_type conformer
+        -encoder_type conformer \
+        -conformer_stream_dtype ${stream_dtype:-bfloat16}
 fi
 
 archive_dir=${archive_dir:-data/train_archives}

@@ -224,3 +224,48 @@ def test_blocked_dropout_unbiased():
     # correspondingly high estimator variance)
     assert err.mean() < 0.05
     np.testing.assert_allclose(acc / n, np.asarray(base), atol=0.3)
+
+
+def test_blocked_bf16_low_traffic_softmax():
+    """The bf16 input path uses the low-traffic softmax (bf16 exp, f32
+    row sums): it must track the f32 oracle within bf16 tolerance and
+    keep fully-masked rows exactly zero."""
+    import jax.numpy as jnp
+
+    from pytorch_kaldi_asr_tpu.ops.banded_attention import (
+        banded_attention_blocked,
+        banded_attention_reference,
+    )
+
+    rng = np.random.default_rng(5)
+    bh, s, d = 4, 128, 16
+    q = rng.normal(size=(bh, s, d)).astype(np.float32)
+    k = rng.normal(size=(bh, s, d)).astype(np.float32)
+    v = rng.normal(size=(bh, s, d)).astype(np.float32)
+    valid = np.ones((bh, s), np.int32)
+    valid[1, 64:] = 0
+    valid[2, :] = 0  # every key invalid -> all rows fully masked
+    ref = banded_attention_reference(q, k, v, valid, -16, 0, 0.25)
+    got = banded_attention_blocked(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), jnp.asarray(valid),
+        start=-16, end=0, scale=0.25, block_q=32,
+    ).astype(jnp.float32)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.06)
+    # fully-masked rows are exactly zero (the re-zero rule)
+    assert np.abs(np.asarray(got)[2]).max() == 0.0
+
+    # gradients flow and are finite on the bf16 path
+    def loss(q16, k16, v16):
+        out = banded_attention_blocked(q16, k16, v16, jnp.asarray(valid),
+                                       start=-16, end=0, scale=0.25,
+                                       block_q=32)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16))
+    for g in grads:
+        assert np.isfinite(np.asarray(g, np.float32)).all()
+    assert max(float(jnp.abs(g).max()) for g in grads) > 0

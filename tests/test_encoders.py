@@ -245,3 +245,29 @@ def test_banded_encoder_inference_path_matches_training_math():
         x = feed_forward(layer["ffn"], x, cfg, 0.0, rngs, False)
     x = x + pos[None]
     np.testing.assert_allclose(np.asarray(got), np.asarray(x), atol=2e-5)
+
+
+def test_conformer_bf16_stream_close_to_f32_stream():
+    """conformer_stream_dtype=bfloat16 (the HBM/VPU-saving fast path) must
+    track the f32-stream output closely and keep gradients finite."""
+    cfg32 = _cfg("conformer")
+    cfg16 = cfg32.replace(conformer_stream_dtype=jnp.bfloat16,
+                          compute_dtype=jnp.bfloat16)
+    params = init_transformer(jax.random.PRNGKey(4), cfg32)
+    src, mask = _batch(cfg32)
+    out32, _ = encode(params, cfg32, src, mask)
+    out16, _ = encode(params, cfg16, src, mask)
+    assert out16.dtype == jnp.bfloat16
+    scale = float(jnp.abs(out32).max())
+    err = float(jnp.abs(out32 - out16.astype(jnp.float32)).max())
+    assert err < 0.05 * scale, (err, scale)
+
+    def loss(p):
+        out, _ = encode(p, cfg16, src, mask, train=True,
+                        rng=jax.random.PRNGKey(0))
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads["encoder"])
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert max(float(jnp.abs(g).max()) for g in leaves) > 0
