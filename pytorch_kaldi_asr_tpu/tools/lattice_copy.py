@@ -88,17 +88,81 @@ def write_lattices(lattices, wspecifier, word2id):
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser()
+    parser = argparse.ArgumentParser(
+        description="lattice-copy / lattice-scale / lattice-prune / "
+                    "lattice-nbest / lattice-oracle in one pipeline: "
+                    "read -> scale -> prune -> write (+ optional n-best "
+                    "and oracle-WER side outputs)")
     parser.add_argument("-words", required=True,
                         help="word symbol table (words.txt)")
+    parser.add_argument("-acoustic_scale", type=float, default=1.0)
+    parser.add_argument("-lm_scale", type=float, default=1.0)
+    parser.add_argument("-prune_beam", type=float, default=None,
+                        help="lattice-prune --beam (after scaling)")
+    parser.add_argument("-nbest", type=int, default=0,
+                        help="also emit the N best distinct hypotheses")
+    parser.add_argument("-nbest_file", default=None,
+                        help="n-best output ('key\\tcost\\twords' lines; "
+                             "default <wspecifier path>.nbest)")
+    parser.add_argument("-oracle_ref", default=None,
+                        help="reference text file: also compute per-utt "
+                             "lattice-oracle errors")
+    parser.add_argument("-oracle_file", default=None)
     parser.add_argument("rspecifier")
     parser.add_argument("wspecifier")
     opt = parser.parse_args(argv)
     word2id = _read_words(opt.words)
-    n = write_lattices(
-        (lat for _, lat in read_lattices(opt.rspecifier, word2id)),
-        opt.wspecifier, word2id,
+
+    from pytorch_kaldi_asr_tpu.decode.lattice_ops import (
+        nbest as nbest_op,
+        oracle_wer,
+        prune_lattice,
+        scale_lattice,
     )
+
+    refs = {}
+    if opt.oracle_ref:
+        with open(opt.oracle_ref, encoding="utf-8") as f:
+            for line in f:
+                parts = line.split()
+                if parts:
+                    refs[parts[0]] = parts[1:]
+
+    lats = []
+    nbest_lines = []
+    oracle_lines = []
+    total_err = total_ref = 0
+    for utt, lat in read_lattices(opt.rspecifier, word2id):
+        if opt.acoustic_scale != 1.0 or opt.lm_scale != 1.0:
+            lat = scale_lattice(lat, acoustic_scale=opt.acoustic_scale,
+                                lm_scale=opt.lm_scale)
+        if opt.prune_beam is not None:
+            lat = prune_lattice(lat, opt.prune_beam)
+        if opt.nbest > 0:
+            for words, cost in nbest_op(lat, opt.nbest):
+                nbest_lines.append(f"{utt}\t{cost:.4f}\t{' '.join(words)}\n")
+        if refs:
+            ref = refs.get(utt, [])
+            err, _ = oracle_wer(lat, ref)
+            oracle_lines.append(f"{utt} {err} {len(ref)}\n")
+            total_err += err
+            total_ref += len(ref)
+        lats.append(lat)
+    n = write_lattices(lats, opt.wspecifier, word2id)
+    if nbest_lines:
+        path = opt.nbest_file or opt.wspecifier.rpartition(":")[2].split(
+            ",")[0] + ".nbest"
+        with open(path, "w", encoding="utf-8") as f:
+            f.writelines(nbest_lines)
+    if oracle_lines:
+        path = opt.oracle_file or opt.wspecifier.rpartition(":")[2].split(
+            ",")[0] + ".oracle"
+        with open(path, "w", encoding="utf-8") as f:
+            f.writelines(oracle_lines)
+            owr = 100.0 * total_err / max(total_ref, 1)
+            f.write(f"OVERALL {total_err} {total_ref} {owr:.2f}%\n")
+        print(f"[INFO] oracle WER {owr:.2f}% "
+              f"[{total_err}/{total_ref}]", file=sys.stderr)
     print(f"[INFO] copied {n} lattices", file=sys.stderr)
     return 0
 

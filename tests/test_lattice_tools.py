@@ -287,3 +287,124 @@ def test_mkgraph_latgen_cli_const_fst_and_binary_ark(tmp_path):
     (utt, lat), = list(read_lattice_ark(lat_ark, id2word))
     assert utt == "u1"
     assert lat.best_path()[0] == sent
+
+
+# ---------------------------------------------------------------------------
+# lattice algebra (decode/lattice_ops.py — the lattice-tool-chain verbs)
+# ---------------------------------------------------------------------------
+
+
+def _diamond_lattice():
+    """Two-path lattice: 'bat at' (cost 1.0) vs 'back at' (cost 2.5)."""
+    lat = WordLattice(utt="u")
+    n0 = lat.add_node(0)
+    n1 = lat.add_node(5)
+    n2 = lat.add_node(10)
+    lat.add_link(n0, n1, "bat", acoustic=0.5, graph=0.25)
+    lat.add_link(n0, n1, "back", acoustic=1.5, graph=0.75)
+    lat.add_link(n1, n2, "at", acoustic=0.25, graph=0.0)
+    lat.finals[n2] = 0.0
+    return lat
+
+
+def test_scale_lattice_components():
+    from pytorch_kaldi_asr_tpu.decode.lattice_ops import scale_lattice
+
+    lat = _diamond_lattice()
+    s = scale_lattice(lat, acoustic_scale=2.0, lm_scale=4.0)
+    assert s.links[0].acoustic == 1.0 and s.links[0].graph == 1.0
+    # original untouched
+    assert lat.links[0].acoustic == 0.5
+    # best path order can flip under scaling
+    words, _ = s.best_path()
+    assert words == ["bat", "at"]
+
+
+def test_prune_lattice_drops_expensive_path():
+    from pytorch_kaldi_asr_tpu.decode.lattice_ops import prune_lattice
+
+    lat = _diamond_lattice()
+    # best = 1.0; 'back' path = 2.5; beam 1.0 prunes it
+    p = prune_lattice(lat, 1.0)
+    assert sorted(l.word for l in p.links) == ["at", "bat"]
+    assert p.best_path()[0] == ["bat", "at"]
+    # wide beam keeps both
+    p2 = prune_lattice(lat, 10.0)
+    assert sorted(l.word for l in p2.links) == ["at", "back", "bat"]
+
+
+def test_nbest_distinct_ordered():
+    from pytorch_kaldi_asr_tpu.decode.lattice_ops import nbest
+
+    lat = _diamond_lattice()
+    res = nbest(lat, 5)
+    assert [w for w, _ in res] == [["bat", "at"], ["back", "at"]]
+    assert res[0][1] < res[1][1]
+    assert math.isclose(res[0][1], 1.0)
+    assert math.isclose(res[1][1], 2.5)
+
+
+def test_nbest_matches_real_lattice_best_path(lattice):
+    from pytorch_kaldi_asr_tpu.decode.lattice_ops import nbest
+
+    res = nbest(lattice, 3)
+    assert res, "no hypotheses from a real latgen lattice"
+    words, cost = lattice.best_path()
+    assert res[0][0] == words
+    assert math.isclose(res[0][1], cost, rel_tol=1e-6)
+    # costs are non-decreasing and sequences distinct
+    costs = [c for _, c in res]
+    assert costs == sorted(costs)
+    seqs = [tuple(w) for w, _ in res]
+    assert len(set(seqs)) == len(seqs)
+
+
+def test_oracle_wer_exact():
+    from pytorch_kaldi_asr_tpu.decode.lattice_ops import oracle_wer
+
+    lat = _diamond_lattice()
+    # exact match through the lattice
+    assert oracle_wer(lat, ["back", "at"]) == (0, ["back", "at"])
+    # one substitution minimum
+    err, words = oracle_wer(lat, ["bat", "cat"])
+    assert err == 1 and words == ["bat", "at"]
+    # reference longer: deletion counted
+    err, _ = oracle_wer(lat, ["bat", "at", "extra"])
+    assert err == 1
+    # empty reference: best path is all insertions (2)
+    err, _ = oracle_wer(lat, [])
+    assert err == 2
+
+
+def test_lattice_copy_cli_scale_prune_nbest_oracle(graph_and_syms, lattice,
+                                                  tmp_path):
+    from pytorch_kaldi_asr_tpu.fst.openfst_io import (
+        read_lattice_ark,
+        write_lattice_ark,
+    )
+    from pytorch_kaldi_asr_tpu.tools import lattice_copy
+
+    _, word_syms = graph_and_syms
+    id2word = {v: k for k, v in word_syms.items()}
+    ark = str(tmp_path / "in.ark")
+    write_lattice_ark([lattice], ark, word_syms)
+    words_txt = tmp_path / "words.txt"
+    words_txt.write_text("".join(f"{w} {i}\n" for w, i in word_syms.items()))
+    ref_txt = tmp_path / "ref.txt"
+    ref_txt.write_text(f"{lattice.utt} bat at tab\n")
+    out_ark = str(tmp_path / "out.ark")
+    assert lattice_copy.main([
+        "-words", str(words_txt), "-acoustic_scale", "0.5",
+        "-prune_beam", "20.0", "-nbest", "5",
+        "-oracle_ref", str(ref_txt),
+        f"ark:{ark}", f"ark:{out_ark}"]) == 0
+    (utt, got), = list(read_lattice_ark(out_ark, id2word))
+    assert utt == lattice.utt
+    assert len(got.links) <= len(lattice.links)
+    nb = open(out_ark + ".nbest").read().splitlines()
+    assert 1 <= len(nb) <= 5
+    assert nb[0].split("\t")[0] == lattice.utt
+    oracle = open(out_ark + ".oracle").read().splitlines()
+    assert oracle[-1].startswith("OVERALL")
+    # the true sentence is in the lattice, so oracle errors are 0
+    assert oracle[0].split()[1] == "0"
