@@ -1,0 +1,177 @@
+"""Sequence (context) parallelism for long-form audio.
+
+The reference manages sequence length algorithmically — banded attention
+windows, frame folding, hard length caps (reference Models.py:38-65,
+trim_instance_length.py:37-59) — because a single GPU holds the whole
+utterance.  On a TPU mesh the banded window (-100, 0) invites the
+TPU-native upgrade: shard the TIME axis across chips.  Every op in the
+banded encoder is position-local except the attention window, whose reach
+is bounded by the band, so each shard only needs a HALO of neighbor
+frames: ``-start`` frames from the left shard (and ``end`` from the right
+for non-causal bands), moved with one ``jax.lax.ppermute`` per direction
+per layer — collectives ride ICI, activations never gather.
+
+Provided:
+
+- :func:`halo_exchange` — pull the halo frames of the left/right
+  neighbor shards (zeros at the boundary shards);
+- :func:`sp_banded_attention` — windowed self-attention on a time-shard
+  with halos, reusing ops.banded_attention_blocked on the concatenated
+  [halo_l | local | halo_r] keys (queries left-padded so the band indices
+  line up globally);
+- :func:`sp_banded_encode` — the full banded encoder (models/encoders.py
+  banded_encode semantics, inference mode) under ``shard_map`` with the
+  sequence axis sharded;  numerically equal to the single-device forward
+  (pinned by tests/test_sequence_parallel.py on an 8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pytorch_kaldi_asr_tpu.models.common import (
+    layer_norm,
+    position_encoding_table,
+)
+from pytorch_kaldi_asr_tpu.models.transformer import _Rngs, feed_forward
+
+
+def make_seq_mesh(seq=None, devices=None):
+    """1-axis mesh over the time dimension."""
+    devices = list(devices if devices is not None else jax.devices())
+    seq = seq or len(devices)
+    import numpy as np
+
+    return Mesh(np.array(devices[:seq]), axis_names=("seq",))
+
+
+def halo_exchange(x, halo_l, halo_r, axis_name):
+    """Return (left_halo, right_halo) for a [B, S_local, ...] shard:
+    the last ``halo_l`` frames of the LEFT neighbor and the first
+    ``halo_r`` frames of the RIGHT neighbor (zero-filled at the mesh
+    boundary, exactly like the zero-padding a single-device banded mask
+    applies past the sequence edge)."""
+    n = jax.lax.psum(1, axis_name)
+    left = right = None
+    if halo_l:
+        tail = jax.lax.slice_in_dim(x, x.shape[1] - halo_l, x.shape[1],
+                                    axis=1)
+        # shard i sends its tail to shard i+1; shard 0 receives zeros
+        left = jax.lax.ppermute(tail, axis_name,
+                                [(i, i + 1) for i in range(n - 1)])
+    if halo_r:
+        head = jax.lax.slice_in_dim(x, 0, halo_r, axis=1)
+        right = jax.lax.ppermute(head, axis_name,
+                                 [(i + 1, i) for i in range(n - 1)])
+    return left, right
+
+
+def _cat_with_halos(x, left, right):
+    parts = [p for p in (left, x, right) if p is not None]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def sp_banded_attention(p, x, valid, cfg, axis_name):
+    """One banded self-attention block on a time shard (post-LN residual,
+    multi_head_attention semantics at f32).  ``valid`` is the local
+    [B, S_local] frame mask."""
+    from pytorch_kaldi_asr_tpu.ops.banded_attention import (
+        banded_attention_blocked,
+    )
+
+    start, end = cfg.encoder_sub_sequence
+    halo_l, halo_r = max(0, -start), max(0, end)
+    b, sl, d_model = x.shape
+    h = p["w_qs"].shape[0]
+    if halo_l > sl or halo_r > sl:
+        raise ValueError(
+            f"band reach ({halo_l}/{halo_r}) exceeds the local shard "
+            f"length {sl}: the halo pulls only the immediate neighbor — "
+            "use fewer sequence shards (or a narrower band)")
+
+    lx, rx = halo_exchange(x, halo_l, halo_r, axis_name)
+    lv, rv = halo_exchange(valid, halo_l, halo_r, axis_name)
+    xk = _cat_with_halos(x, lx, rx)                     # [B, hl+Sl+hr, D]
+    vk = _cat_with_halos(valid, lv, rv)
+
+    # left-pad queries by halo_l so query row i of the padded sequence has
+    # the same global offset as key row i — then the plain aligned band
+    # (start, end) is exactly the global band.  Right-pad both to a block
+    # multiple for the blocked op.
+    block_q = 128 if (halo_l + sl + halo_r) % 128 == 0 else 32
+    total = halo_l + sl + halo_r
+    pad_to = -(-total // block_q) * block_q
+    qp = jnp.pad(x, ((0, 0), (halo_l, pad_to - halo_l - sl), (0, 0)))
+    kp = jnp.pad(xk, ((0, 0), (0, pad_to - total), (0, 0)))
+    vkp = jnp.pad(vk, ((0, 0), (0, pad_to - total)))
+
+    qs = jnp.einsum("bld,hdk->bhlk", qp, p["w_qs"]).reshape(b * h, pad_to, -1)
+    ks = jnp.einsum("bld,hdk->bhlk", kp, p["w_ks"]).reshape(b * h, pad_to, -1)
+    vs = jnp.einsum("bld,hdv->bhlv", kp, p["w_vs"]).reshape(b * h, pad_to, -1)
+    key_valid = jnp.repeat(vkp.astype(jnp.int32), h, axis=0)
+    out = banded_attention_blocked(
+        qs, ks, vs, key_valid, start=start, end=end,
+        scale=1.0 / float(d_model) ** 0.5, block_q=block_q,
+    )
+    out = out.reshape(b, h, pad_to, -1)[:, :, halo_l:halo_l + sl]
+    out = out.transpose(0, 2, 1, 3).reshape(b, sl, -1)
+    out = out @ p["proj"]["w"] + p["proj"]["b"]
+    out = out + x
+    return layer_norm(out, p["ln"]["gamma"], p["ln"]["beta"],
+                      skip_len1=cfg.ln_skip_len1)
+
+
+def _sp_encode_local(params, cfg, src, mask, *, axis_name):
+    """Per-shard banded encoder forward (inference; banded_encode
+    semantics: src_proj → +pos (global index, clipped) → [attention, ffn]
+    stack → +pos)."""
+    sl = src.shape[1]
+    shard = jax.lax.axis_index(axis_name)
+    table = position_encoding_table(cfg.encoder_max_len, cfg.en_d_model)
+    gidx = jnp.clip(shard * sl + jnp.arange(sl), 0, cfg.encoder_max_len - 1)
+    pos = table[gidx]
+
+    x = src.astype(cfg.compute_dtype) @ params["src_proj"]["w"].astype(
+        cfg.compute_dtype)
+    x = x.astype(jnp.float32) + pos[None]
+
+    rngs = _Rngs(None)
+    for layer in params["layers"]:
+        x = sp_banded_attention(layer["slf"], x, mask, cfg, axis_name)
+        x = feed_forward(layer["ffn"], x, cfg, 0.0, rngs, False)
+    x = x + pos[None]  # trans_pos_enc applied post-stack (Models.py:119)
+    return x
+
+
+def sp_banded_encode(params, cfg, src, mask, mesh, *, seq_axis="seq"):
+    """Banded encoder forward with the TIME axis sharded over ``mesh``.
+
+    ``src`` [B, S, D] and ``mask`` [B, S] with S divisible by the mesh's
+    ``seq_axis`` size.  Returns the [B, S, d_model] encoder output (same
+    sharding).  Inference only — the training path keeps time on-chip and
+    shards batch/model axes instead (parallel/mesh.py)."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    n = mesh.shape[seq_axis]
+    if src.shape[1] % n != 0:
+        raise ValueError(
+            f"sequence length {src.shape[1]} not divisible by the "
+            f"'{seq_axis}' mesh axis ({n}); pad with mask=0 frames")
+    kw = dict(
+        mesh=mesh,
+        in_specs=(P(None, seq_axis, None), P(None, seq_axis)),
+        out_specs=P(None, seq_axis, None),
+    )
+    body = partial(_sp_encode_local, params, cfg, axis_name=seq_axis)
+    try:  # jax >= 0.8 names the replication check differently
+        fn = shard_map(body, check_vma=False, **kw)
+    except TypeError:  # pragma: no cover - older jax
+        fn = shard_map(body, check_rep=False, **kw)
+    return fn(src, mask)
