@@ -269,6 +269,26 @@ class WordLattice:
         return lat
 
 
+def read_text_lattice_archive(path):
+    """Yield (utt, WordLattice) from a kaldi-text lattice archive: key
+    line, block of arc/final lines, blank separator (the lattice-copy
+    ``ark,t:`` file shape).  THE parser for this format — show_lattice,
+    kws, and lattice_copy all route through it."""
+    with open(path, encoding="utf-8") as f:
+        block, utt = [], None
+        for line in list(f) + [""]:
+            stripped = line.strip()
+            if utt is None:
+                if stripped:
+                    utt = stripped.split()[0]
+                continue
+            if stripped:
+                block.append(stripped)
+            else:
+                yield utt, WordLattice.read_kaldi_text(block, utt=utt)
+                block, utt = [], None
+
+
 def write_slf_file(lattices, path, *, frame_rate=0.01, word_to_node=False):
     """Write lattices (iterable of WordLattice) to one SLF file, or to
     per-utterance .lat.gz files when ``path`` is a directory

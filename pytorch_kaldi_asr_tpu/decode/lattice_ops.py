@@ -29,15 +29,14 @@ _EPS_WORDS = ("<eps>", "!NULL", "")
 def scale_lattice(lat, *, acoustic_scale=1.0, lm_scale=1.0, inplace=False):
     """Scale the acoustic/graph costs (lattice-scale semantics: the two
     weight components are scaled independently; finals scale with lm)."""
-    out = lat if inplace else WordLattice(
-        node_times=list(lat.node_times), links=[], finals={}, utt=lat.utt)
-    links = lat.links if inplace else None
     if inplace:
-        for l in links:
+        for l in lat.links:
             l.acoustic *= acoustic_scale
             l.graph *= lm_scale
         lat.finals = {n: w * lm_scale for n, w in lat.finals.items()}
         return lat
+    out = WordLattice(node_times=list(lat.node_times), links=[], finals={},
+                      utt=lat.utt)
     for l in lat.links:
         out.add_link(l.start, l.end, l.word, l.acoustic * acoustic_scale,
                      l.graph * lm_scale)
@@ -144,6 +143,14 @@ def nbest(lat, n, *, acoustic_scale=1.0, lm_scale=1.0):
             g2 = g + l.cost
             counter += 1
             heapq.heappush(heap, (g2 + beta[l.end], counter, l.end, g2, w2))
+    if heap and len(results) < n and pops >= max_pops:
+        # search gave up, not "lattice exhausted" — callers must be able
+        # to tell the difference
+        from pytorch_kaldi_asr_tpu.utils.logging import warning
+
+        warning("nbest(%s): search cap hit after %d pops with %d/%d "
+                "hypotheses — lattice has heavy epsilon ambiguity",
+                lat.utt or "?", pops, len(results), n)
     return results
 
 

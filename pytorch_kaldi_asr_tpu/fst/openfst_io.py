@@ -257,7 +257,13 @@ def read_compact_lattice(f, id2word):
             links.append((s, ns, word, a, g, len(string)))
     for s, ns, word, a, g, dur in links:
         lat.add_link(s, ns, word, a, g)
-        if dur:
+    # propagate node times in topological order — external tools may number
+    # states non-topologically, so a single pass in file order is not enough
+    dur_out = {}
+    for s, ns, _w, _a, _g, dur in links:
+        dur_out.setdefault(s, []).append((ns, dur))
+    for s in lat.topo_order():
+        for ns, dur in dur_out.get(s, ()):
             lat.node_times[ns] = max(lat.node_times[ns],
                                      lat.node_times[s] + dur)
     return lat

@@ -543,10 +543,12 @@ def _compressed_matrix_bytes_cm1(mat):
     if rows >= 5:
         q = rows // 4
         pf = srt[[0, q, 3 * q, rows - 1], :]  # (4, cols) float percentiles
-    else:
+    elif rows > 0:
         # short columns: degenerate percentiles from whatever rows exist
         idx = [0, min(1, rows - 1), min(2, rows - 1), rows - 1]
         pf = srt[idx, :]
+    else:  # empty matrix: headers only, no codes
+        pf = np.zeros((4, cols), np.float32)
     pq = np.clip(np.round((pf - mn) / rg * 65535.0), 0, 65535).astype(np.int64)
     # force p0 < p25 < p75 < p100 by >=1 uint16 step (Kaldi's clamps)
     p0 = np.minimum(pq[0], 65532)
@@ -604,8 +606,19 @@ class ArkWriter:
     """
 
     def __init__(self, ark_path, scp_path=None, text=False, compress=False):
-        self.ark_path = os.path.abspath(ark_path)
-        self._ark = open(ark_path, "wb")
+        import sys
+
+        if ark_path == "-":  # wxfilename stdout convention
+            if scp_path:
+                raise ValueError("ark,scp writing needs a seekable ark, "
+                                 "not stdout")
+            self.ark_path = "-"
+            self._ark = sys.stdout.buffer
+            self._own_ark = False
+        else:
+            self.ark_path = os.path.abspath(ark_path)
+            self._ark = open(ark_path, "wb")
+            self._own_ark = True
         self._scp = open(scp_path, "w", encoding="utf-8") if scp_path else None
         self.text = text
         # compress: False | True (CM2) | "CM" | "CM2" | "CM3"
@@ -640,7 +653,10 @@ class ArkWriter:
             self._scp.write(f"{key} {self.ark_path}:{offset}\n")
 
     def close(self):
-        self._ark.close()
+        if self._own_ark:
+            self._ark.close()
+        else:
+            self._ark.flush()
         if self._scp is not None:
             self._scp.close()
 

@@ -146,10 +146,18 @@ def launch(argv):
     if backend:
         from pytorch_kaldi_asr_tpu.parallel import batch
 
+        if hosts:
+            raise SystemExit("--hosts and --backend are mutually exclusive "
+                             "(the scheduler owns machine placement)")
+        if retries:
+            raise SystemExit("--retries is not supported with --backend: "
+                             "requeueing is the scheduler's job (the wrapper "
+                             "already remaps OOM exit 137 to the re-runnable "
+                             "code 100)")
         jobs = list(job_range) if job_range is not None else [1]
         failed = batch.submit_and_wait(
             backend, log_file, command, jobs,
-            queue=queue_name, resources=resources,
+            queue=queue_name, resources=resources, max_jobs=max_jobs,
         )
         if failed:
             print(

@@ -14,9 +14,12 @@ import sys
 from pytorch_kaldi_asr_tpu.io import kaldi_io
 
 
-# Kaldi's --compression-method numbering (kAutomaticMethod=1 picks the
-# column-header format for real feature matrices)
-_METHODS = {1: "CM", 2: "CM", 3: "CM2", 4: "CM3"}
+# Kaldi's --compression-method numbering (compressed-matrix.h):
+# 1 kAutomaticMethod (speech features -> column-header format),
+# 2 kSpeechFeature, 3 kTwoByteAuto, 4 kTwoByteSignedInteger (two-byte),
+# 5 kOneByteAuto, 6 kOneByteUnsignedInteger, 7 kOneByteZeroOne (one-byte)
+_METHODS = {1: "CM", 2: "CM", 3: "CM2", 4: "CM2", 5: "CM3", 6: "CM3",
+            7: "CM3"}
 
 
 def copy_feats(rspecifier, wspecifier, compress=False):
@@ -47,8 +50,12 @@ def main(argv=None):
             file=sys.stderr,
         )
         return 1
+    if compress and method not in _METHODS:
+        print(f"unknown --compression-method={method} (know 1-7)",
+              file=sys.stderr)
+        return 1
     n = copy_feats(pos[0], pos[1],
-                   compress=_METHODS.get(method, "CM") if compress else False)
+                   compress=_METHODS[method] if compress else False)
     print(f"[INFO] copied {n} feature matrices", file=sys.stderr)
     return 0
 

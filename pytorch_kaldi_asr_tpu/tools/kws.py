@@ -292,21 +292,13 @@ def main(argv=None):
                 parts = line.split()
                 if parts:
                     keywords[parts[0]] = parts[1:]
+        from pytorch_kaldi_asr_tpu.decode.lattice_io import (
+            read_text_lattice_archive,
+        )
+
         hits = []
-        with open(opt.lattices, encoding="utf-8") as f:
-            block, utt = [], None
-            for line in list(f) + [""]:
-                stripped = line.strip()
-                if utt is None:
-                    if stripped:
-                        utt = stripped.split()[0]
-                    continue
-                if stripped:
-                    block.append(stripped)
-                else:
-                    lat = WordLattice.read_kaldi_text(block, utt=utt)
-                    hits.extend(search_lattice(lat, keywords))
-                    block, utt = [], None
+        for _utt, lat in read_text_lattice_archive(opt.lattices):
+            hits.extend(search_lattice(lat, keywords))
         with open(opt.output, "w", encoding="utf-8") as f:
             write_kwslist(hits, f, threshold=opt.threshold,
                           duptime=opt.duptime, normalize=opt.normalize)

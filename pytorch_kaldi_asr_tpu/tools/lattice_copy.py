@@ -19,7 +19,6 @@ from __future__ import annotations
 import argparse
 import sys
 
-from pytorch_kaldi_asr_tpu.decode.lattice_io import WordLattice
 from pytorch_kaldi_asr_tpu.fst.openfst_io import (
     read_lattice_ark,
     write_lattice_ark,
@@ -36,43 +35,41 @@ def _read_words(path):
     return word2id
 
 
-def _read_text_archive(path):
-    block, utt = [], None
-    with open(path, encoding="utf-8") as f:
-        for line in list(f) + [""]:
-            stripped = line.strip()
-            if utt is None:
-                if stripped:
-                    utt = stripped.split()[0]
-                continue
-            if stripped:
-                block.append(stripped)
-            else:
-                yield utt, WordLattice.read_kaldi_text(block, utt=utt)
-                block, utt = [], None
-
-
 def read_lattices(rspecifier, word2id):
     head, _, path = rspecifier.partition(":")
     parts = head.split(",")
     if parts[0] != "ark":
         raise ValueError(f"unsupported rspecifier {rspecifier!r}")
     if "t" in parts[1:]:
-        yield from _read_text_archive(path)
+        from pytorch_kaldi_asr_tpu.decode.lattice_io import (
+            read_text_lattice_archive,
+        )
+
+        yield from read_text_lattice_archive(path)
     else:
         id2word = {v: k for k, v in word2id.items()}
         yield from read_lattice_ark(path, id2word)
 
 
 def write_lattices(lattices, wspecifier, word2id):
+    """Streaming writer: consumes the lattice iterable one utterance at a
+    time (Kaldi's lattice-copy streams too — a test-set decode must not be
+    held in memory).  Returns the number written."""
     head, _, rest = wspecifier.partition(":")
     parts = head.split(",")
     if parts[0] != "ark":
         raise ValueError(f"unsupported wspecifier {wspecifier!r}")
-    lattices = list(lattices)
+    n = 0
+
+    def counted():
+        nonlocal n
+        for lat in lattices:
+            n += 1
+            yield lat
+
     if "t" in parts[1:]:
         with open(rest, "w", encoding="utf-8") as f:
-            for lat in lattices:
+            for lat in counted():
                 f.write(f"{lat.utt}\n")
                 lat.write_kaldi_text(f)
                 f.write("\n")
@@ -81,10 +78,10 @@ def write_lattices(lattices, wspecifier, word2id):
         if not scp_path:
             raise ValueError(f"ark,scp wspecifier needs two paths: "
                              f"{wspecifier!r}")
-        write_lattice_ark(lattices, ark_path, word2id, scp_path=scp_path)
+        write_lattice_ark(counted(), ark_path, word2id, scp_path=scp_path)
     else:
-        write_lattice_ark(lattices, rest, word2id)
-    return len(lattices)
+        write_lattice_ark(counted(), rest, word2id)
+    return n
 
 
 def main(argv=None):
@@ -128,27 +125,33 @@ def main(argv=None):
                 if parts:
                     refs[parts[0]] = parts[1:]
 
-    lats = []
     nbest_lines = []
     oracle_lines = []
     total_err = total_ref = 0
-    for utt, lat in read_lattices(opt.rspecifier, word2id):
-        if opt.acoustic_scale != 1.0 or opt.lm_scale != 1.0:
-            lat = scale_lattice(lat, acoustic_scale=opt.acoustic_scale,
-                                lm_scale=opt.lm_scale)
-        if opt.prune_beam is not None:
-            lat = prune_lattice(lat, opt.prune_beam)
-        if opt.nbest > 0:
-            for words, cost in nbest_op(lat, opt.nbest):
-                nbest_lines.append(f"{utt}\t{cost:.4f}\t{' '.join(words)}\n")
-        if refs:
-            ref = refs.get(utt, [])
-            err, _ = oracle_wer(lat, ref)
-            oracle_lines.append(f"{utt} {err} {len(ref)}\n")
-            total_err += err
-            total_ref += len(ref)
-        lats.append(lat)
-    n = write_lattices(lats, opt.wspecifier, word2id)
+
+    def processed():
+        nonlocal total_err, total_ref
+        for utt, lat in read_lattices(opt.rspecifier, word2id):
+            if opt.acoustic_scale != 1.0 or opt.lm_scale != 1.0:
+                lat = scale_lattice(lat, acoustic_scale=opt.acoustic_scale,
+                                    lm_scale=opt.lm_scale)
+            if opt.prune_beam is not None:
+                lat = prune_lattice(lat, opt.prune_beam)
+            if opt.nbest > 0:
+                for words, cost in nbest_op(lat, opt.nbest):
+                    nbest_lines.append(
+                        f"{utt}\t{cost:.4f}\t{' '.join(words)}\n")
+            if refs:
+                ref = refs.get(utt, [])
+                err, _ = oracle_wer(lat, ref)
+                oracle_lines.append(f"{utt} {err} {len(ref)}\n")
+                total_err += err
+                total_ref += len(ref)
+            yield lat
+
+    # streamed: each lattice is processed and written before the next is
+    # read — only the n-best/oracle summary lines accumulate
+    n = write_lattices(processed(), opt.wspecifier, word2id)
     if nbest_lines:
         path = opt.nbest_file or opt.wspecifier.rpartition(":")[2].split(
             ",")[0] + ".nbest"

@@ -16,20 +16,12 @@ from pytorch_kaldi_asr_tpu.decode.lattice_io import WordLattice
 
 def read_lattice_archive(path):
     """Yield (utt, WordLattice) from a kaldi-text lattice archive
-    (key line, block of arc/final lines, blank separator)."""
-    with open(path, encoding="utf-8") as f:
-        block, utt = [], None
-        for line in list(f) + [""]:
-            stripped = line.strip()
-            if utt is None:
-                if stripped:
-                    utt = stripped.split()[0]
-                continue
-            if stripped:
-                block.append(stripped)
-            else:
-                yield utt, WordLattice.read_kaldi_text(block, utt=utt)
-                block, utt = [], None
+    (delegates to decode.lattice_io.read_text_lattice_archive)."""
+    from pytorch_kaldi_asr_tpu.decode.lattice_io import (
+        read_text_lattice_archive,
+    )
+
+    yield from read_text_lattice_archive(path)
 
 
 def main(argv=None):

@@ -135,3 +135,29 @@ def test_launch_cli_backend_failure_propagates(tmp_path, monkeypatch):
     code = launch(["--backend=sge", "-l", "gpu=1", "JOB=1:2", log,
                    "echo", "ok-JOB"])
     assert code == 0
+
+
+def test_backend_rejects_incompatible_flags(tmp_path, monkeypatch):
+    _install(tmp_path, monkeypatch, "sge")
+    hosts = tmp_path / "machines"
+    hosts.write_text("a\nb\n")
+    log = str(tmp_path / "log" / "x.JOB.log")
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        launch(["--backend", "sge", "--hosts", str(hosts), "JOB=1:2", log,
+                "echo", "x"])
+    with pytest.raises(SystemExit, match="retries"):
+        launch(["--backend", "sge", "--retries", "2", "JOB=1:2", log,
+                "echo", "x"])
+
+
+def test_max_jobs_forwarded_as_array_throttle():
+    sge = batch.submit_argv("sge", "/q/job.sh", [1, 8], max_jobs=3)
+    assert ["-tc", "3"] in [sge[i:i + 2] for i in range(len(sge))]
+    sl = batch.submit_argv("slurm", "/q/job.sh", [1, 8], max_jobs=3)
+    assert "--array=1-8%3" in sl
+
+
+def test_wait_sync_timeout_marks_pending_failed(tmp_path, capsys):
+    codes = batch.wait_sync(str(tmp_path), [1, 2], poll=0.01, timeout=0.1)
+    assert codes == {1: -1, 2: -1}
+    assert "timed out" in capsys.readouterr().err

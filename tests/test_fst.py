@@ -419,3 +419,45 @@ def test_compact_lattice_golden_header(tmp_path):
         struct.pack("<i", 1),                    # nextstate
     ])
     assert blob.startswith(expect_prefix)
+
+
+def test_lattice_ark_non_topological_state_numbering(tmp_path):
+    """Node times must propagate in topological order even when an
+    external tool numbered states non-topologically (OpenFst allows it)."""
+    import io as _io
+
+    from pytorch_kaldi_asr_tpu.fst import openfst_io
+
+    # hand-build a compactlattice44 stream with states 0 -> 2 -> 1,
+    # i.e. state 2 (mid) has a HIGHER id than its successor 1
+    buf = _io.BytesIO()
+    import struct
+
+    def clat_w(g, a, string):
+        return (struct.pack("<ff", g, a) + struct.pack("<i", len(string))
+                + struct.pack(f"<{len(string)}i", *string))
+
+    inf = math.inf
+    buf.write(struct.pack("<i", 2125659606))
+    for sname in ("vector", "compactlattice44"):
+        b = sname.encode()
+        buf.write(struct.pack("<i", len(b)) + b)
+    buf.write(struct.pack("<iiQ", 2, 0, 0))
+    buf.write(struct.pack("<qqq", 0, 3, 2))
+    # state 0: not final, arc to 2 (word 5, 4 frames)
+    buf.write(clat_w(inf, inf, []))
+    buf.write(struct.pack("<q", 1))
+    buf.write(struct.pack("<ii", 5, 5) + clat_w(0.5, 1.0, [1] * 4)
+              + struct.pack("<i", 2))
+    # state 1: final, no arcs
+    buf.write(clat_w(0.0, 0.0, []))
+    buf.write(struct.pack("<q", 0))
+    # state 2: arc to 1 (word 6, 3 frames)
+    buf.write(clat_w(inf, inf, []))
+    buf.write(struct.pack("<q", 1))
+    buf.write(struct.pack("<ii", 6, 6) + clat_w(0.25, 0.5, [1] * 3)
+              + struct.pack("<i", 1))
+    buf.seek(0)
+    lat = openfst_io.read_compact_lattice(buf, {5: "hello", 6: "world"})
+    assert lat.node_times == [0, 7, 4]  # state 1 reached via 0->2->1
+    assert lat.best_path()[0] == ["hello", "world"]

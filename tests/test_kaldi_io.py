@@ -252,3 +252,27 @@ def test_compressed_writer_rejects_unknown_method(tmp_path):
 
     with pytest.raises(ValueError):
         kaldi_io.ArkWriter(str(tmp_path / "x.ark"), compress="CM4")
+
+
+def test_compressed_writer_cm1_empty_matrix(tmp_path):
+    """0-row matrices must encode/decode without crashing (headers only)."""
+    mat = np.zeros((0, 5), np.float32)
+    ark = tmp_path / "e.ark"
+    with kaldi_io.ArkWriter(str(ark), compress="CM") as w:
+        w.write("u", mat)
+    got = dict(kaldi_io.read_mat_ark(str(ark)))["u"]
+    assert got.shape == (0, 5)
+
+
+def test_ark_writer_stdout(tmp_path, capfdbinary):
+    """wxfilename '-' writes the binary stream to stdout (and refuses an
+    scp pair, which needs a seekable file)."""
+    import pytest
+
+    mat = np.ones((2, 3), np.float32)
+    with kaldi_io.ArkWriter("-") as w:
+        w.write("u", mat)
+    out, _ = capfdbinary.readouterr()
+    assert out.startswith(b"u \x00BFM ")
+    with pytest.raises(ValueError):
+        kaldi_io.ArkWriter("-", str(tmp_path / "x.scp"))

@@ -306,3 +306,22 @@ def test_filter_text_by_vocab():
     out2 = dd.filter_text_by_vocab(table, {"the", "cat", "sat"},
                                    oov_word="<unk>")
     assert out2["u1"] == "the cat <unk> sat"
+
+
+def test_copy_feats_method_numbering_matches_kaldi(tmp_path):
+    """Kaldi enum: 3/4 are the two-byte methods (CM2), 5-7 one-byte (CM3);
+    unknown methods error instead of silently picking a format."""
+    from pytorch_kaldi_asr_tpu.tools import copy_feats as cf
+
+    rng = np.random.default_rng(13)
+    mat = rng.normal(size=(12, 4)).astype(np.float32)
+    with kaldi_io.ArkWriter(str(tmp_path / "a.ark"),
+                            str(tmp_path / "a.scp")) as w:
+        w.write("u0", mat)
+    for method, token in [(4, b"CM2 "), (5, b"CM3 "), (7, b"CM3 ")]:
+        rc = cf.main([f"--compress=true", f"--compression-method={method}",
+                      f"scp:{tmp_path}/a.scp", f"ark:{tmp_path}/m.ark"])
+        assert rc == 0
+        assert token in (tmp_path / "m.ark").read_bytes()[:16], method
+    assert cf.main(["--compress=true", "--compression-method=8",
+                    f"scp:{tmp_path}/a.scp", f"ark:{tmp_path}/m.ark"]) == 1
