@@ -1,0 +1,232 @@
+"""Recognition server: load a trained checkpoint once, serve n-best
+hypotheses over HTTP.
+
+The reference stops at batch decoding (decode.py writes a file); this is
+the deployment surface on top of the same machinery: the KV-cached beam
+search (decode/fast_beam.py) behind a long-lived process with
+compile-count discipline — requests are padded to a small set of static
+length buckets so XLA compiles each (bucket, beam) pair exactly once, and
+every bucket is warmed at startup before the port opens.
+
+Endpoints (stdlib http.server; zero dependencies):
+
+- ``POST /recognize``  body = JSON ``{"features": [[...frame...], ...],
+  "nbest": k}`` (feature matrix, frames x dim) or raw WAV bytes with
+  ``Content-Type: audio/wav`` (fbank extracted on the fly, tools/fbank).
+  Response: ``{"nbest": [{"text": ..., "score": ...}], "frames": N}``.
+- ``GET /healthz``  liveness + model/config summary.
+
+Usage::
+
+    python3 -m pytorch_kaldi_asr_tpu.recipes.serve \
+        -read_model_file exp/model/combined -read_vocab_file lang/vocab.txt \
+        -port 8600 -beam_size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+
+import numpy as np
+
+from pytorch_kaldi_asr_tpu.utils.logging import info
+
+
+DEFAULT_BUCKETS = (100, 200, 300, 500)
+
+
+class Recognizer:
+    """Model + vocab + jit-warmed bucketed beam search; thread-safe via a
+    lock (jit dispatch is serialized anyway on one chip)."""
+
+    def __init__(self, model_file, vocab_file, *, beam_size=8,
+                 max_token_seq_len=None, buckets=DEFAULT_BUCKETS,
+                 use_cache=True):
+        from pytorch_kaldi_asr_tpu.data import instances
+        from pytorch_kaldi_asr_tpu.decode.runner import _pick_search
+        from pytorch_kaldi_asr_tpu.train.checkpoint import load_checkpoint
+
+        ck = load_checkpoint(model_file)
+        self.params, self.cfg = ck["params"], ck["cfg"]
+        self.word2idx = instances.read_vocab(vocab_file)
+        self.idx2word = {i: w for w, i in self.word2idx.items()}
+        self.beam_size = beam_size
+        self.max_len = max_token_seq_len or self.cfg.decoder_max_len
+        self.buckets = tuple(
+            b for b in sorted(buckets) if b <= self.cfg.encoder_max_len
+        ) or (self.cfg.encoder_max_len,)
+        self.search = _pick_search(self.cfg, use_cache)
+        self.lock = threading.Lock()
+
+    def warmup(self):
+        """Compile every bucket before serving (first-compile latency must
+        not land on a request)."""
+        import jax
+
+        for b in self.buckets:
+            t0 = time.time()
+            src = np.zeros((1, b, self.cfg.src_dim), np.float32)
+            mask = np.zeros((1, b), np.uint8)
+            mask[:, :2] = 1
+            result = self.search(self.params, self.cfg, jax.numpy.asarray(src),
+                                 jax.numpy.asarray(mask),
+                                 beam_size=self.beam_size,
+                                 max_len=self.max_len)
+            jax.block_until_ready(result)
+            info("warmed bucket %d in %.1fs", b, time.time() - t0)
+
+    def _bucket(self, t):
+        for b in self.buckets:
+            if t <= b:
+                return b
+        return self.buckets[-1]
+
+    def recognize(self, feats, nbest=1):
+        """feats: [T, D] float matrix -> [(text, score)] best-first."""
+        from pytorch_kaldi_asr_tpu.decode.runner import (
+            ids_to_words,
+            nbest_from_result,
+        )
+
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim != 2 or feats.shape[1] != self.cfg.src_dim:
+            raise ValueError(
+                f"expected [T, {self.cfg.src_dim}] features, got "
+                f"{feats.shape}")
+        t = min(feats.shape[0], self.cfg.encoder_max_len)
+        b = self._bucket(t)
+        src = np.zeros((1, b, self.cfg.src_dim), np.float32)
+        src[0, :t] = feats[:t]
+        mask = np.zeros((1, b), np.uint8)
+        mask[0, :t] = 1
+        with self.lock:
+            result = self.search(self.params, self.cfg, src, mask,
+                                 beam_size=self.beam_size,
+                                 max_len=self.max_len)
+            hyps = nbest_from_result(result, min(nbest, self.beam_size))[0]
+        out = []
+        for seq, score in hyps:
+            words = ids_to_words(seq[1:-1], self.idx2word)
+            out.append((" ".join(words), float(score)))
+        return out
+
+
+def _features_from_request(body, content_type, src_dim):
+    """JSON feature matrix or WAV bytes -> ([T, D] features, payload)."""
+    if content_type.startswith("audio/"):
+        import tempfile
+
+        from pytorch_kaldi_asr_tpu.tools.fbank import (
+            FbankConfig,
+            compute_fbank,
+        )
+        from pytorch_kaldi_asr_tpu.tools.wav import read_wav
+
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            f.write(body)
+            f.flush()
+            samples, rate = read_wav(f.name)
+        if samples.ndim > 1:
+            samples = samples[:, 0]
+        cfg = FbankConfig(sample_rate=rate, num_bins=src_dim)
+        return np.asarray(compute_fbank(samples, cfg)), {}
+    payload = json.loads(body.decode("utf-8"))
+    return np.asarray(payload["features"], np.float32), payload
+
+
+def make_handler(recognizer):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, obj):
+            data = json.dumps(obj).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, fmt, *args):  # route through our logger
+            info("http: " + fmt, *args)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "encoder_type": recognizer.cfg.encoder_type,
+                    "src_dim": recognizer.cfg.src_dim,
+                    "vocab_size": recognizer.cfg.vocab_size,
+                    "buckets": list(recognizer.buckets),
+                    "beam_size": recognizer.beam_size,
+                })
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/recognize":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "application/json")
+                feats, payload = _features_from_request(
+                    body, ctype, recognizer.cfg.src_dim)
+                nbest = int(payload.get("nbest", 1))
+                t0 = time.time()
+                hyps = recognizer.recognize(feats, nbest=nbest)
+                self._send(200, {
+                    "nbest": [{"text": t, "score": s} for t, s in hyps],
+                    "frames": int(np.asarray(feats).shape[0]),
+                    "latency_ms": round((time.time() - t0) * 1e3, 1),
+                })
+            except Exception as e:  # noqa: BLE001 — server must not die
+                self._send(400, {"error": repr(e)[:500]})
+
+    return Handler
+
+
+def serve(recognizer, port, *, host="127.0.0.1"):
+    """Blocking server loop (ThreadingHTTPServer; recognition itself is
+    serialized by the recognizer lock)."""
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer((host, port), make_handler(recognizer))
+    info("serving on %s:%d (buckets %s, beam %d)", host, port,
+         recognizer.buckets, recognizer.beam_size)
+    httpd.serve_forever()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-read_model_file", required=True)
+    parser.add_argument("-read_vocab_file", required=True)
+    parser.add_argument("-port", type=int, default=8600)
+    parser.add_argument("-host", default="127.0.0.1")
+    parser.add_argument("-beam_size", type=int, default=8)
+    parser.add_argument("-max_token_seq_len", type=int, default=None)
+    parser.add_argument("-buckets", default=None,
+                        help="comma-separated frame-length buckets "
+                             "(default 100,200,300,500 clipped to the "
+                             "encoder max length)")
+    parser.add_argument("-no_warmup", action="store_true")
+    opt = parser.parse_args(argv)
+
+    buckets = (tuple(int(b) for b in opt.buckets.split(","))
+               if opt.buckets else DEFAULT_BUCKETS)
+    rec = Recognizer(opt.read_model_file, opt.read_vocab_file,
+                     beam_size=opt.beam_size,
+                     max_token_seq_len=opt.max_token_seq_len,
+                     buckets=buckets)
+    if not opt.no_warmup:
+        rec.warmup()
+    serve(rec, opt.port, host=opt.host)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
