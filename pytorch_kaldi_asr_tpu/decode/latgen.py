@@ -25,27 +25,37 @@ from pytorch_kaldi_asr_tpu.fst.core import EPS, Fst
 INF = math.inf
 
 
-def latgen(graph: Fst, log_posts, *, acoustic_scale=1.0, beam=16.0,
-           max_active=2000, log_priors=None, sym_offset=1):
-    """Decode one utterance.
+class StreamingLatgen:
+    """Frame-synchronous Viterbi decoding with CARRIED token state: feed
+    posterior chunks as they arrive (``push``), read a partial best
+    hypothesis at any point (``partial``), and terminate with final
+    weights at end of stream (``finish``).  ``latgen`` is the one-shot
+    wrapper.  The online role the reference delegates to Kaldi's
+    online decoders; here it pairs with models/streaming.py's chunked
+    posterior emitters for end-to-end streaming recognition."""
 
-    log_posts: [T, n_phones] log p(phone | frame).  Graph input label i
-    corresponds to posterior column (i - sym_offset) — phone symbol tables
-    start at 1 because 0 is epsilon.
+    def __init__(self, graph: Fst, *, acoustic_scale=1.0, beam=16.0,
+                 max_active=2000, log_priors=None, sym_offset=1):
+        self.graph = graph
+        self.acoustic_scale = acoustic_scale
+        self.beam = beam
+        self.max_active = max_active
+        self.log_priors = (None if log_priors is None
+                           else np.asarray(log_priors, dtype=np.float64))
+        self.sym_offset = sym_offset
+        self.reset()
 
-    Returns (word_ids, phone_frames, total_cost) or None if no path
-    survived."""
-    log_posts = np.asarray(log_posts, dtype=np.float64)
-    if log_priors is not None:
-        log_posts = log_posts - np.asarray(log_priors, dtype=np.float64)
-    T, n_ph = log_posts.shape
+    def reset(self):
+        # token: state -> (cost, traceback id); tracebacks: list of
+        # (prev_tb, olabel, ilabel) triples
+        self.tracebacks = [(-1, EPS, EPS)]
+        self.tokens = self._eps_expand({self.graph.start: (0.0, 0)})
+        self.dead = False
+        self.frames = 0
 
-    # token: state -> (cost, traceback id); tracebacks: list of
-    # (prev_tb, olabel, ilabel) triples
-    tracebacks = [(-1, EPS, EPS)]
-
-    def eps_expand(tokens):
+    def _eps_expand(self, tokens):
         """Relax non-emitting (input-eps) arcs until fixpoint."""
+        graph, tracebacks = self.graph, self.tracebacks
         stack = list(tokens.keys())
         while stack:
             s = stack.pop()
@@ -60,57 +70,105 @@ def latgen(graph: Fst, log_posts, *, acoustic_scale=1.0, beam=16.0,
                     stack.append(a.nextstate)
         return tokens
 
-    tokens = eps_expand({graph.start: (0.0, 0)})
+    def push(self, log_posts):
+        """Advance over [T, n_phones] frames of log p(phone | frame).
+        Returns False if the beam died (no surviving token) — the decode
+        is then unrecoverable until reset()."""
+        if self.dead:
+            return False
+        graph, tracebacks = self.graph, self.tracebacks
+        log_posts = np.asarray(log_posts, dtype=np.float64)
+        if self.log_priors is not None:
+            log_posts = log_posts - self.log_priors
+        n_ph = log_posts.shape[1]
+        tokens = self.tokens
+        for t in range(log_posts.shape[0]):
+            nxt: dict[int, tuple] = {}
+            best = INF
+            for s, (cost, tb) in tokens.items():
+                for a in graph.arcs[s]:
+                    if a.ilabel == EPS:
+                        continue
+                    col = a.ilabel - self.sym_offset
+                    if col < 0 or col >= n_ph:
+                        continue
+                    ac = -self.acoustic_scale * log_posts[t, col]
+                    nc = cost + a.weight + ac
+                    if nc >= best + self.beam:
+                        continue
+                    if nc < nxt.get(a.nextstate, (INF,))[0]:
+                        tracebacks.append((tb, a.olabel, a.ilabel))
+                        nxt[a.nextstate] = (nc, len(tracebacks) - 1)
+                        best = min(best, nc)
+            if not nxt:
+                self.dead = True
+                return False
+            # beam + histogram pruning
+            cut = best + self.beam
+            pruned = {s: v for s, v in nxt.items() if v[0] <= cut}
+            if len(pruned) > self.max_active:
+                costs = sorted(v[0] for v in pruned.values())
+                cut = costs[self.max_active - 1]
+                pruned = {s: v for s, v in pruned.items() if v[0] <= cut}
+            tokens = self._eps_expand(pruned)
+            self.frames += 1
+        self.tokens = tokens
+        return True
 
-    for t in range(T):
-        nxt: dict[int, tuple] = {}
-        best = INF
-        for s, (cost, tb) in tokens.items():
-            for a in graph.arcs[s]:
-                if a.ilabel == EPS:
-                    continue
-                col = a.ilabel - sym_offset
-                if col < 0 or col >= n_ph:
-                    continue
-                ac = -acoustic_scale * log_posts[t, col]
-                nc = cost + a.weight + ac
-                if nc >= best + beam:
-                    continue
-                if nc < nxt.get(a.nextstate, (INF,))[0]:
-                    tracebacks.append((tb, a.olabel, a.ilabel))
-                    nxt[a.nextstate] = (nc, len(tracebacks) - 1)
-                    best = min(best, nc)
-        if not nxt:
+    def _backtrace(self, tb):
+        words, phones = [], []
+        while tb >= 0:
+            prev, ol, il = self.tracebacks[tb]
+            if ol != EPS:
+                words.append(ol)
+            if il != EPS:
+                phones.append(il)
+            tb = prev
+        return words[::-1], phones[::-1]
+
+    def partial(self):
+        """(word_ids, cost) of the best ALIVE token so far — final weights
+        not applied; the stable prefix of the eventual result in practice.
+        None if the beam died."""
+        if self.dead or not self.tokens:
             return None
-        # beam + histogram pruning
-        cut = best + beam
-        pruned = {s: v for s, v in nxt.items() if v[0] <= cut}
-        if len(pruned) > max_active:
-            costs = sorted(v[0] for v in pruned.values())
-            cut = costs[max_active - 1]
-            pruned = {s: v for s, v in pruned.items() if v[0] <= cut}
-        tokens = eps_expand(pruned)
+        s, (cost, tb) = min(self.tokens.items(), key=lambda kv: kv[1][0])
+        words, _ = self._backtrace(tb)
+        return words, cost
 
-    # terminate: add final weights
-    best_state, best_cost, best_tb = None, INF, -1
-    for s, (cost, tb) in tokens.items():
-        if graph.is_final(s):
-            total = cost + graph.final_weight(s)
-            if total < best_cost:
-                best_state, best_cost, best_tb = s, total, tb
-    if best_state is None:
+    def finish(self):
+        """Terminate with final weights.  Returns
+        (word_ids, phone_frames, total_cost) or None."""
+        if self.dead:
+            return None
+        best_state, best_cost, best_tb = None, INF, -1
+        for s, (cost, tb) in self.tokens.items():
+            if self.graph.is_final(s):
+                total = cost + self.graph.final_weight(s)
+                if total < best_cost:
+                    best_state, best_cost, best_tb = s, total, tb
+        if best_state is None:
+            return None
+        words, phones = self._backtrace(best_tb)
+        return words, phones, best_cost
+
+
+def latgen(graph: Fst, log_posts, *, acoustic_scale=1.0, beam=16.0,
+           max_active=2000, log_priors=None, sym_offset=1):
+    """Decode one utterance.
+
+    log_posts: [T, n_phones] log p(phone | frame).  Graph input label i
+    corresponds to posterior column (i - sym_offset) — phone symbol tables
+    start at 1 because 0 is epsilon.
+
+    Returns (word_ids, phone_frames, total_cost) or None if no path
+    survived."""
+    dec = StreamingLatgen(graph, acoustic_scale=acoustic_scale, beam=beam,
+                          max_active=max_active, log_priors=log_priors,
+                          sym_offset=sym_offset)
+    if not dec.push(log_posts):
         return None
-
-    words, phones = [], []
-    tb = best_tb
-    while tb >= 0:
-        prev, ol, il = tracebacks[tb]
-        if ol != EPS:
-            words.append(ol)
-        if il != EPS:
-            phones.append(il)
-        tb = prev
-    return words[::-1], phones[::-1], best_cost
+    return dec.finish()
 
 
 def latgen_lattice(graph: Fst, log_posts, *, acoustic_scale=1.0, beam=16.0,

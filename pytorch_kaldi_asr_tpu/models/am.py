@@ -38,9 +38,12 @@ def init_am(rng, cfg: TransformerConfig, n_targets, lda_mat=None):
 
 
 def am_log_posteriors(params, cfg, src, src_mask, *, train=False, rng=None,
-                      log_priors=None):
-    """[B, S', n_targets] log-posteriors (minus log-priors if given)."""
-    enc, mask = encode(params, cfg, src, src_mask, train=train, rng=rng)
+                      log_priors=None, pos_offset=0):
+    """[B, S', n_targets] log-posteriors (minus log-priors if given).
+    ``pos_offset`` shifts the positional table for chunked streaming
+    (models/streaming.py passes the buffer's global frame index)."""
+    enc, mask = encode(params, cfg, src, src_mask, train=train, rng=rng,
+                       pos_offset=pos_offset)
     dtype = cfg.compute_dtype
     logits = enc.astype(dtype) @ params["head"]["w"].astype(dtype) \
         + params["head"]["b"].astype(dtype)

@@ -14,6 +14,13 @@ Endpoints (stdlib http.server; zero dependencies):
   "nbest": k}`` (feature matrix, frames x dim) or raw WAV bytes with
   ``Content-Type: audio/wav`` (fbank extracted on the fly, tools/fbank).
   Response: ``{"nbest": [{"text": ..., "score": ...}], "frames": N}``.
+- ``POST /stream/start``  open a streaming session -> ``{"id": ...}``.
+- ``POST /stream/<id>/push``  body ``{"features": [...], "partial":
+  true}`` appends frames; with ``partial`` the accumulated audio is
+  re-decoded for a running hypothesis (attention models have no
+  frame-synchronous decoder; for that, pair models/streaming.py with
+  decode.latgen.StreamingLatgen on the hybrid path).
+- ``POST /stream/<id>/finish``  final n-best, closes the session.
 - ``GET /healthz``  liveness + model/config summary.
 
 Usage::
@@ -138,8 +145,48 @@ def _features_from_request(body, content_type, src_dim):
     return np.asarray(payload["features"], np.float32), payload
 
 
-def make_handler(recognizer):
+class SessionStore:
+    """Streaming sessions: accumulated feature chunks keyed by id, with
+    TTL-based expiry swept on access."""
+
+    def __init__(self, ttl=600.0):
+        self.ttl = ttl
+        self._sessions = {}
+        self._lock = threading.Lock()
+        self._counter = 0
+
+    def _sweep(self, now):
+        dead = [k for k, s in self._sessions.items()
+                if now - s["touched"] > self.ttl]
+        for k in dead:
+            del self._sessions[k]
+
+    def start(self):
+        with self._lock:
+            now = time.time()
+            self._sweep(now)
+            self._counter += 1
+            sid = f"s{self._counter:06d}"
+            self._sessions[sid] = {"chunks": [], "touched": now}
+            return sid
+
+    def get(self, sid):
+        with self._lock:
+            self._sweep(time.time())
+            s = self._sessions.get(sid)
+            if s is not None:
+                s["touched"] = time.time()
+            return s
+
+    def finish(self, sid):
+        with self._lock:
+            return self._sessions.pop(sid, None)
+
+
+def make_handler(recognizer, sessions=None):
     from http.server import BaseHTTPRequestHandler
+
+    sessions = sessions if sessions is not None else SessionStore()
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, obj):
@@ -166,26 +213,82 @@ def make_handler(recognizer):
             else:
                 self._send(404, {"error": "unknown path"})
 
+        def _read_body(self):
+            length = int(self.headers.get("Content-Length", "0"))
+            return self.rfile.read(length)
+
         def do_POST(self):
-            if self.path != "/recognize":
-                self._send(404, {"error": "unknown path"})
-                return
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                body = self.rfile.read(length)
-                ctype = self.headers.get("Content-Type", "application/json")
-                feats, payload = _features_from_request(
-                    body, ctype, recognizer.cfg.src_dim)
-                nbest = int(payload.get("nbest", 1))
-                t0 = time.time()
-                hyps = recognizer.recognize(feats, nbest=nbest)
-                self._send(200, {
-                    "nbest": [{"text": t, "score": s} for t, s in hyps],
-                    "frames": int(np.asarray(feats).shape[0]),
-                    "latency_ms": round((time.time() - t0) * 1e3, 1),
-                })
+                if self.path == "/recognize":
+                    self._recognize()
+                elif self.path == "/stream/start":
+                    self._send(200, {"id": sessions.start()})
+                elif self.path.startswith("/stream/"):
+                    self._stream()
+                else:
+                    self._send(404, {"error": "unknown path"})
             except Exception as e:  # noqa: BLE001 — server must not die
                 self._send(400, {"error": repr(e)[:500]})
+
+        def _recognize(self):
+            body = self._read_body()
+            ctype = self.headers.get("Content-Type", "application/json")
+            feats, payload = _features_from_request(
+                body, ctype, recognizer.cfg.src_dim)
+            nbest = int(payload.get("nbest", 1))
+            t0 = time.time()
+            hyps = recognizer.recognize(feats, nbest=nbest)
+            self._send(200, {
+                "nbest": [{"text": t, "score": s} for t, s in hyps],
+                "frames": int(np.asarray(feats).shape[0]),
+                "latency_ms": round((time.time() - t0) * 1e3, 1),
+            })
+
+        def _stream(self):
+            parts = self.path.split("/")  # ['', 'stream', sid, verb]
+            if len(parts) != 4 or parts[3] not in ("push", "finish"):
+                self._send(404, {"error": "unknown stream path"})
+                return
+            sid, verb = parts[2], parts[3]
+            if verb == "push":
+                sess = sessions.get(sid)
+                if sess is None:
+                    self._send(404, {"error": f"no session {sid}"})
+                    return
+                body = self._read_body()
+                ctype = self.headers.get("Content-Type",
+                                         "application/json")
+                feats, payload = _features_from_request(
+                    body, ctype, recognizer.cfg.src_dim)
+                sess["chunks"].append(np.asarray(feats, np.float32))
+                frames = sum(c.shape[0] for c in sess["chunks"])
+                out = {"frames": frames}
+                if payload.get("partial"):
+                    acc = np.concatenate(sess["chunks"], axis=0)
+                    hyps = recognizer.recognize(acc, nbest=1)
+                    out["partial"] = hyps[0][0] if hyps else ""
+                self._send(200, out)
+            else:  # finish
+                sess = sessions.finish(sid)
+                if sess is None:
+                    self._send(404, {"error": f"no session {sid}"})
+                    return
+                if not sess["chunks"]:
+                    self._send(200, {"nbest": [], "frames": 0})
+                    return
+                payload = {}
+                body = self._read_body()
+                if body:
+                    payload = json.loads(body.decode("utf-8"))
+                acc = np.concatenate(sess["chunks"], axis=0)
+                t0 = time.time()
+                hyps = recognizer.recognize(
+                    acc, nbest=int(payload.get("nbest", 1)))
+                self._send(200, {
+                    "nbest": [{"text": t, "score": s} for t, s in hyps],
+                    "frames": int(acc.shape[0]),
+                    "latency_ms": round((time.time() - t0) * 1e3, 1),
+                })
 
     return Handler
 

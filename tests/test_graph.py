@@ -212,3 +212,40 @@ def test_mkgraph_with_preexisting_disambig_in_phone_table():
     id2w = {v: k for k, v in word_syms.items()}
     hyp = [id2w[w] for w in res[0]]
     assert hyp in (sent, ["batt", "at", "tab"])
+
+
+def test_streaming_latgen_chunked_equals_one_shot():
+    """Pushing posteriors chunk by chunk must give exactly the one-shot
+    latgen result, and partial() must expose a usable running best."""
+    from pytorch_kaldi_asr_tpu.decode.latgen import StreamingLatgen
+
+    lm = train_ngram_lm(SENTENCES, order=2)
+    word_syms = _word_syms()
+    graph, _ = mkgraph(LEXICON, lm, word_syms, PHONES, sil_phone=None,
+                       hmm_loops=True)
+    sent = ["bat", "at"]
+    phone_ids = [PHONES[p] for w in sent for p in LEXICON[w]]
+    posts = _posts_for(phone_ids, len(PHONES))
+    ref = latgen(graph, posts, beam=30.0)
+    assert ref is not None
+
+    dec = StreamingLatgen(graph, beam=30.0)
+    partials = []
+    for lo in range(0, posts.shape[0], 4):
+        assert dec.push(posts[lo:lo + 4])
+        p = dec.partial()
+        assert p is not None
+        partials.append(p[0])
+    got = dec.finish()
+    assert got is not None
+    assert got[0] == ref[0]          # words
+    assert got[1] == ref[1]          # phone alignment
+    assert math.isclose(got[2], ref[2], rel_tol=1e-9)
+    assert dec.frames == posts.shape[0]
+    # the last partial before termination covers the final words
+    id2w = {v: k for k, v in word_syms.items()}
+    assert [id2w[w] for w in ref[0]] == sent
+
+    # reset() makes the decoder reusable
+    dec.reset()
+    assert dec.push(posts) and dec.finish()[0] == ref[0]

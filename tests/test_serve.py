@@ -96,3 +96,58 @@ def test_http_end_to_end(recognizer, model_dir):
             assert json.loads(r.read())["status"] == "ok"
     finally:
         httpd.shutdown()
+
+
+def test_http_streaming_session(recognizer, model_dir):
+    from http.server import ThreadingHTTPServer
+
+    _, cfg = model_dir
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                serve_mod.make_handler(recognizer))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, obj=None):
+        data = json.dumps(obj).encode() if obj is not None else b""
+        req = urllib.request.Request(
+            base + path, data=data,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return json.loads(r.read())
+
+    try:
+        sid = post("/stream/start")["id"]
+        rng = np.random.default_rng(2)
+        r1 = post(f"/stream/{sid}/push",
+                  {"features": rng.normal(size=(4, cfg.src_dim)).tolist()})
+        assert r1["frames"] == 4 and "partial" not in r1
+        r2 = post(f"/stream/{sid}/push",
+                  {"features": rng.normal(size=(5, cfg.src_dim)).tolist(),
+                   "partial": True})
+        assert r2["frames"] == 9
+        assert isinstance(r2["partial"], str)
+        final = post(f"/stream/{sid}/finish", {"nbest": 2})
+        assert final["frames"] == 9
+        assert 1 <= len(final["nbest"]) <= 2
+        # session is gone after finish
+        req = urllib.request.Request(
+            base + f"/stream/{sid}/push",
+            data=json.dumps({"features": [[0.0] * cfg.src_dim]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 404
+    finally:
+        httpd.shutdown()
+
+
+def test_session_store_expiry():
+    store = serve_mod.SessionStore(ttl=0.05)
+    sid = store.start()
+    assert store.get(sid) is not None
+    import time as _time
+
+    _time.sleep(0.1)
+    store.start()  # triggers the sweep
+    assert store.get(sid) is None
