@@ -219,9 +219,13 @@ def make_batch_loader(
     return BatchLoader(triples, batch_size, mode=mode, **kwargs)
 
 
-def prefetch_to_device(iterator, size=2, device=None):
+def prefetch_to_device(iterator, size=2, device=None, transfer_dtype=None):
     """Overlap host-side batch assembly with device compute by keeping
-    ``size`` batches in flight (jax.device_put is async)."""
+    ``size`` batches in flight (jax.device_put is async).
+
+    ``transfer_dtype`` (e.g. jnp.bfloat16) casts the feature tensor on the
+    host before the transfer — halves host->device bytes when the train
+    step computes in bf16 anyway; leave None for f32-parity runs."""
     import collections
 
     import jax
@@ -229,8 +233,11 @@ def prefetch_to_device(iterator, size=2, device=None):
     queue = collections.deque()
 
     def _put(batch):
+        src = batch.src
+        if transfer_dtype is not None:
+            src = src.astype(transfer_dtype)
         arrays = jax.device_put(
-            (batch.src, batch.src_mask, batch.tgt, batch.tgt_mask, batch.valid),
+            (src, batch.src_mask, batch.tgt, batch.tgt_mask, batch.valid),
             device,
         )
         return Batch(batch.keys, *arrays)
