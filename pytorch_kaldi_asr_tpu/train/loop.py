@@ -216,9 +216,19 @@ def train_model(
         # overlaps device compute (with a mesh, pjit places shards itself)
         _prefetch = None
         if mesh is None:
+            import functools
+
+            import jax.numpy as jnp
+
             from pytorch_kaldi_asr_tpu.data.loader import prefetch_to_device
 
-            _prefetch = prefetch_to_device
+            # when the step computes in bf16 the features are cast to bf16
+            # at its first op anyway — casting on the host instead halves
+            # host->device bytes with bit-identical step numerics
+            tdt = (jnp.bfloat16 if cfg.compute_dtype == jnp.bfloat16
+                   else None)
+            _prefetch = functools.partial(prefetch_to_device,
+                                          transfer_dtype=tdt)
         state, loss, accu = run_train_epoch(state, train_step, train_loader,
                                             prefetch=_prefetch)
         info(
