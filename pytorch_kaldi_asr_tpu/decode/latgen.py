@@ -35,7 +35,8 @@ class StreamingLatgen:
     posterior emitters for end-to-end streaming recognition."""
 
     def __init__(self, graph: Fst, *, acoustic_scale=1.0, beam=16.0,
-                 max_active=2000, log_priors=None, sym_offset=1):
+                 max_active=2000, log_priors=None, sym_offset=1,
+                 compact_threshold=None):
         self.graph = graph
         self.acoustic_scale = acoustic_scale
         self.beam = beam
@@ -43,6 +44,9 @@ class StreamingLatgen:
         self.log_priors = (None if log_priors is None
                            else np.asarray(log_priors, dtype=np.float64))
         self.sym_offset = sym_offset
+        self.compact_threshold = (compact_threshold
+                                  if compact_threshold is not None
+                                  else max(65536, 64 * max_active))
         self.reset()
 
     def reset(self):
@@ -113,7 +117,28 @@ class StreamingLatgen:
             tokens = self._eps_expand(pruned)
             self.frames += 1
         self.tokens = tokens
+        # bound the traceback arena for long-running streams: most entries
+        # belong to pruned-away hypotheses; keep only those reachable from
+        # a live token (shared prefixes keep the live set linear in frames)
+        if len(self.tracebacks) > self.compact_threshold:
+            self._compact()
         return True
+
+    def _compact(self):
+        reachable = set()
+        for _cost, tb in self.tokens.values():
+            while tb >= 0 and tb not in reachable:
+                reachable.add(tb)
+                tb = self.tracebacks[tb][0]
+        order = sorted(reachable)
+        remap = {old: new for new, old in enumerate(order)}
+        self.tracebacks = [
+            (remap.get(self.tracebacks[old][0], -1),
+             self.tracebacks[old][1], self.tracebacks[old][2])
+            for old in order
+        ]
+        self.tokens = {s: (cost, remap[tb])
+                       for s, (cost, tb) in self.tokens.items()}
 
     def _backtrace(self, tb):
         words, phones = [], []

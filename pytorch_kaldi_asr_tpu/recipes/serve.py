@@ -92,20 +92,26 @@ class Recognizer:
                 return b
         return self.buckets[-1]
 
-    def recognize(self, feats, nbest=1):
-        """feats: [T, D] float matrix -> [(text, score)] best-first."""
-        from pytorch_kaldi_asr_tpu.decode.runner import (
-            ids_to_words,
-            nbest_from_result,
-        )
-
+    def check_features(self, feats):
         feats = np.asarray(feats, np.float32)
         if feats.ndim != 2 or feats.shape[1] != self.cfg.src_dim:
             raise ValueError(
                 f"expected [T, {self.cfg.src_dim}] features, got "
                 f"{feats.shape}")
-        t = min(feats.shape[0], self.cfg.encoder_max_len)
-        b = self._bucket(t)
+        return feats
+
+    def recognize(self, feats, nbest=1):
+        """feats: [T, D] float matrix -> ([(text, score)] best-first,
+        frames_decoded).  Inputs longer than the largest bucket are
+        truncated to it (frames_decoded < T tells the caller)."""
+        from pytorch_kaldi_asr_tpu.decode.runner import (
+            ids_to_words,
+            nbest_from_result,
+        )
+
+        feats = self.check_features(feats)
+        b = self._bucket(min(feats.shape[0], self.cfg.encoder_max_len))
+        t = min(feats.shape[0], b)
         src = np.zeros((1, b, self.cfg.src_dim), np.float32)
         src[0, :t] = feats[:t]
         mask = np.zeros((1, b), np.uint8)
@@ -119,7 +125,7 @@ class Recognizer:
         for seq, score in hyps:
             words = ids_to_words(seq[1:-1], self.idx2word)
             out.append((" ".join(words), float(score)))
-        return out
+        return out, t
 
 
 def _features_from_request(body, content_type, src_dim):
@@ -147,7 +153,9 @@ def _features_from_request(body, content_type, src_dim):
 
 class SessionStore:
     """Streaming sessions: accumulated feature chunks keyed by id, with
-    TTL-based expiry swept on access."""
+    TTL-based expiry swept on access.  All chunk mutation happens under
+    the store lock — a concurrent sweep/finish can never lose a chunk a
+    push already acknowledged."""
 
     def __init__(self, ttl=600.0):
         self.ttl = ttl
@@ -170,13 +178,26 @@ class SessionStore:
             self._sessions[sid] = {"chunks": [], "touched": now}
             return sid
 
-    def get(self, sid):
+    def append(self, sid, feats):
+        """Append a chunk; returns the total frame count, or None if the
+        session does not exist (expired/finished)."""
         with self._lock:
             self._sweep(time.time())
             s = self._sessions.get(sid)
-            if s is not None:
-                s["touched"] = time.time()
-            return s
+            if s is None:
+                return None
+            s["touched"] = time.time()
+            s["chunks"].append(feats)
+            return sum(c.shape[0] for c in s["chunks"])
+
+    def snapshot(self, sid):
+        """A stable copy of the accumulated chunks (or None)."""
+        with self._lock:
+            s = self._sessions.get(sid)
+            if s is None:
+                return None
+            s["touched"] = time.time()
+            return list(s["chunks"])
 
     def finish(self, sid):
         with self._lock:
@@ -237,12 +258,15 @@ def make_handler(recognizer, sessions=None):
                 body, ctype, recognizer.cfg.src_dim)
             nbest = int(payload.get("nbest", 1))
             t0 = time.time()
-            hyps = recognizer.recognize(feats, nbest=nbest)
-            self._send(200, {
+            hyps, decoded = recognizer.recognize(feats, nbest=nbest)
+            out = {
                 "nbest": [{"text": t, "score": s} for t, s in hyps],
-                "frames": int(np.asarray(feats).shape[0]),
+                "frames": decoded,
                 "latency_ms": round((time.time() - t0) * 1e3, 1),
-            })
+            }
+            if decoded < np.asarray(feats).shape[0]:
+                out["truncated"] = True  # input exceeded the largest bucket
+            self._send(200, out)
 
         def _stream(self):
             parts = self.path.split("/")  # ['', 'stream', sid, verb]
@@ -251,44 +275,53 @@ def make_handler(recognizer, sessions=None):
                 return
             sid, verb = parts[2], parts[3]
             if verb == "push":
-                sess = sessions.get(sid)
-                if sess is None:
-                    self._send(404, {"error": f"no session {sid}"})
-                    return
                 body = self._read_body()
                 ctype = self.headers.get("Content-Type",
                                          "application/json")
                 feats, payload = _features_from_request(
                     body, ctype, recognizer.cfg.src_dim)
-                sess["chunks"].append(np.asarray(feats, np.float32))
-                frames = sum(c.shape[0] for c in sess["chunks"])
-                out = {"frames": frames}
-                if payload.get("partial"):
-                    acc = np.concatenate(sess["chunks"], axis=0)
-                    hyps = recognizer.recognize(acc, nbest=1)
-                    out["partial"] = hyps[0][0] if hyps else ""
-                self._send(200, out)
-            else:  # finish
-                sess = sessions.finish(sid)
-                if sess is None:
+                # validate BEFORE appending: a bad chunk must not poison
+                # the session's accumulated audio
+                feats = recognizer.check_features(feats)
+                frames = sessions.append(sid, feats)
+                if frames is None:
                     self._send(404, {"error": f"no session {sid}"})
                     return
-                if not sess["chunks"]:
+                out = {"frames": frames}
+                if payload.get("partial"):
+                    chunks = sessions.snapshot(sid)
+                    if chunks:
+                        acc = np.concatenate(chunks, axis=0)
+                        hyps, _ = recognizer.recognize(acc, nbest=1)
+                        out["partial"] = hyps[0][0] if hyps else ""
+                self._send(200, out)
+            else:  # finish: decode from a snapshot FIRST, pop only after
+                # success so a failed decode leaves the session retryable
+                chunks = sessions.snapshot(sid)
+                if chunks is None:
+                    self._send(404, {"error": f"no session {sid}"})
+                    return
+                if not chunks:
+                    sessions.finish(sid)
                     self._send(200, {"nbest": [], "frames": 0})
                     return
                 payload = {}
                 body = self._read_body()
                 if body:
                     payload = json.loads(body.decode("utf-8"))
-                acc = np.concatenate(sess["chunks"], axis=0)
+                acc = np.concatenate(chunks, axis=0)
                 t0 = time.time()
-                hyps = recognizer.recognize(
+                hyps, decoded = recognizer.recognize(
                     acc, nbest=int(payload.get("nbest", 1)))
-                self._send(200, {
+                sessions.finish(sid)
+                out = {
                     "nbest": [{"text": t, "score": s} for t, s in hyps],
-                    "frames": int(acc.shape[0]),
+                    "frames": decoded,
                     "latency_ms": round((time.time() - t0) * 1e3, 1),
-                })
+                }
+                if decoded < acc.shape[0]:
+                    out["truncated"] = True
+                self._send(200, out)
 
     return Handler
 

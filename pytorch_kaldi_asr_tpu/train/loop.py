@@ -224,8 +224,13 @@ def train_model(
 
             # when the step computes in bf16 the features are cast to bf16
             # at its first op anyway — casting on the host instead halves
-            # host->device bytes with bit-identical step numerics
-            tdt = (jnp.bfloat16 if cfg.compute_dtype == jnp.bfloat16
+            # host->device bytes with bit-identical step numerics.  The
+            # blstm encoder is the exception: it upcasts raw features to
+            # f32 first (encoders.py blstm_encode), so it keeps f32
+            # transfers.
+            tdt = (jnp.bfloat16
+                   if (cfg.compute_dtype == jnp.bfloat16
+                       and cfg.encoder_type != "blstm")
                    else None)
             _prefetch = functools.partial(prefetch_to_device,
                                           transfer_dtype=tdt)

@@ -242,10 +242,37 @@ def test_streaming_latgen_chunked_equals_one_shot():
     assert got[1] == ref[1]          # phone alignment
     assert math.isclose(got[2], ref[2], rel_tol=1e-9)
     assert dec.frames == posts.shape[0]
-    # the last partial before termination covers the final words
+    # the last partial (all frames pushed, finals not yet applied) must
+    # already carry the final word sequence
+    assert partials[-1] == ref[0]
     id2w = {v: k for k, v in word_syms.items()}
     assert [id2w[w] for w in ref[0]] == sent
 
     # reset() makes the decoder reusable
     dec.reset()
     assert dec.push(posts) and dec.finish()[0] == ref[0]
+
+
+def test_streaming_latgen_compaction_preserves_result():
+    """Aggressive traceback-arena compaction (threshold 1) must not change
+    the decode result — entries reachable from live tokens survive."""
+    from pytorch_kaldi_asr_tpu.decode.latgen import StreamingLatgen
+
+    lm = train_ngram_lm(SENTENCES, order=2)
+    word_syms = _word_syms()
+    graph, _ = mkgraph(LEXICON, lm, word_syms, PHONES, sil_phone=None,
+                       hmm_loops=True)
+    sent = ["bat", "at", "tab"]
+    phone_ids = [PHONES[p] for w in sent for p in LEXICON[w]]
+    posts = _posts_for(phone_ids, len(PHONES))
+    ref = latgen(graph, posts, beam=30.0)
+
+    dec = StreamingLatgen(graph, beam=30.0, compact_threshold=1)
+    for lo in range(0, posts.shape[0], 3):
+        assert dec.push(posts[lo:lo + 3])
+    got = dec.finish()
+    assert got is not None
+    assert got[0] == ref[0] and got[1] == ref[1]
+    assert math.isclose(got[2], ref[2], rel_tol=1e-9)
+    # the arena really was kept small
+    assert len(dec.tracebacks) < 40 * posts.shape[0]

@@ -43,12 +43,18 @@ def test_recognize_buckets_and_nbest(recognizer, model_dir):
     _, cfg = model_dir
     rng = np.random.default_rng(0)
     for t in (5, 12):  # maps to buckets 8 and 16
-        hyps = recognizer.recognize(
+        hyps, decoded = recognizer.recognize(
             rng.normal(size=(t, cfg.src_dim)).astype(np.float32), nbest=2)
+        assert decoded == t
         assert 1 <= len(hyps) <= 2
         for text, score in hyps:
             assert isinstance(text, str)
             assert np.isfinite(score)
+    # longer than the largest bucket: truncated to it, not a crash
+    hyps, decoded = recognizer.recognize(
+        rng.normal(size=(64, cfg.src_dim)).astype(np.float32))
+    assert decoded == 16
+    assert hyps
 
 
 def test_recognize_rejects_wrong_dim(recognizer):
@@ -142,12 +148,16 @@ def test_http_streaming_session(recognizer, model_dir):
         httpd.shutdown()
 
 
-def test_session_store_expiry():
+def test_session_store_expiry_and_locked_append():
     store = serve_mod.SessionStore(ttl=0.05)
     sid = store.start()
-    assert store.get(sid) is not None
+    chunk = np.zeros((3, 4), np.float32)
+    assert store.append(sid, chunk) == 3
+    assert store.append(sid, chunk) == 6
+    assert len(store.snapshot(sid)) == 2
     import time as _time
 
     _time.sleep(0.1)
     store.start()  # triggers the sweep
-    assert store.get(sid) is None
+    assert store.append(sid, chunk) is None
+    assert store.snapshot(sid) is None
