@@ -116,7 +116,14 @@ def layer_norm(z, gamma, beta, eps=1e-3, skip_len1=True):
     else:
         mu = jnp.mean(zf, axis=-1, keepdims=True)
         var = jnp.sum((zf - mu) ** 2, axis=-1, keepdims=True) / (n - 1)
-    sigma = jnp.sqrt(var)
+    # safe sqrt: d/dvar sqrt(var) is infinite at var == 0, which REAL rows
+    # hit whenever a row is constant (e.g. the all-zero padded frames the
+    # Conformer conv module produces) — inf * 0 cotangent = NaN poisoning
+    # every upstream gradient.  The double-where keeps the forward value
+    # bit-identical (sqrt(var) when var > 0, else 0) and zeroes the
+    # backward at var == 0.
+    safe = var > 0
+    sigma = jnp.where(safe, jnp.sqrt(jnp.where(safe, var, 1.0)), 0.0)
     out = (zf - mu) / (sigma + eps)
     return (out * gamma + beta).astype(z.dtype)
 

@@ -271,3 +271,35 @@ def test_conformer_bf16_stream_close_to_f32_stream():
     leaves = jax.tree_util.tree_leaves(grads["encoder"])
     assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
     assert max(float(jnp.abs(g).max()) for g in leaves) > 0
+
+
+def test_conformer_grads_finite_with_padded_frames():
+    """Regression: the conv module emits exactly-zero rows at padded
+    frames (zero-init biases); layer_norm's sqrt backward at var==0 used
+    to turn those into NaN gradients poisoning the whole model."""
+    from pytorch_kaldi_asr_tpu.models import transformer_forward
+
+    cfg = _cfg("conformer")
+    params = init_transformer(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(8)
+    src = rng.normal(size=(2, 12, cfg.src_dim)).astype(np.float32)
+    mask = np.ones((2, 12), np.uint8)
+    mask[0, 5:] = 0  # long padded tail -> all-zero conv rows
+    mask[1, 9:] = 0
+    tgt = jnp.asarray(np.array([[2, 4, 5, 3], [2, 5, 4, 3]], np.int32))
+    tgt_mask = jnp.ones_like(tgt, dtype=jnp.uint8)
+
+    def loss(p):
+        logits = transformer_forward(p, cfg, jnp.asarray(src),
+                                     jnp.asarray(mask), tgt[:, :-1],
+                                     tgt_mask[:, :-1], train=True,
+                                     rng=jax.random.PRNGKey(1))
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.sum(jnp.take_along_axis(
+            logp, tgt[:, 1:][..., None], axis=-1))
+
+    grads = jax.grad(loss)(params)
+    for path, g in jax.tree_util.tree_flatten_with_path(grads)[0]:
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", "")))
+                        for p in path)
+        assert np.isfinite(np.asarray(g)).all(), f"non-finite grad {name}"
