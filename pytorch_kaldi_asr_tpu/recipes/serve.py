@@ -23,17 +23,33 @@ Endpoints (stdlib http.server; zero dependencies):
 - ``POST /stream/<id>/finish``  final n-best, closes the session.
 - ``GET /healthz``  liveness + model/config summary.
 
+Two modes:
+
+- **attention** (default): enc-dec checkpoint + vocab; /recognize and
+  sessions decode with the KV-cached beam; streaming partials re-decode
+  the accumulated audio on request.
+- **hybrid** (``-graph_dir``): AM checkpoint (recipes/train_am.py) + HCLG
+  graph dir (recipes/mkgraph.py); /recognize runs posterior -> lattice ->
+  n-best, and streaming sessions are TRUE streaming — chunked AM
+  posteriors (models/streaming.py) feed the carried-token graph decoder
+  (decode.latgen.StreamingLatgen), so every push returns a live partial
+  for free.  Use a fixed client chunk size: each distinct chunk length
+  compiles its own AM forward.
+
 Usage::
 
     python3 -m pytorch_kaldi_asr_tpu.recipes.serve \
         -read_model_file exp/model/combined -read_vocab_file lang/vocab.txt \
         -port 8600 -beam_size 8
+    python3 -m pytorch_kaldi_asr_tpu.recipes.serve \
+        -read_model_file exp/am -graph_dir exp/graph -beam 16 -port 8600
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import threading
 import time
@@ -128,6 +144,149 @@ class Recognizer:
         return out, t
 
 
+class HybridRecognizer:
+    """Hybrid AM + HCLG graph recognition with TRUE streaming: chunked AM
+    posteriors (models.streaming.StreamingTDNN) feed the carried-state
+    graph decoder (decode.latgen.StreamingLatgen) — partial hypotheses
+    come from the live token set, no re-decoding.  Offline requests run
+    the same posteriors through latgen_lattice for n-best."""
+
+    def __init__(self, model_file, graph_dir, *, beam=16.0, max_active=2000,
+                 priors_file=None, acoustic_scale=1.0):
+        import jax
+
+        from pytorch_kaldi_asr_tpu.fst.openfst_io import read_fst
+        from pytorch_kaldi_asr_tpu.models import am
+        from pytorch_kaldi_asr_tpu.recipes.mkgraph import read_symbol_table
+        from pytorch_kaldi_asr_tpu.train.checkpoint import (
+            load_checkpoint,
+            read_checkpoint_config,
+        )
+
+        cfg, meta = read_checkpoint_config(model_file)
+        template = am.init_am(jax.random.PRNGKey(0), cfg,
+                              meta.get("n_targets"))
+        ck = load_checkpoint(model_file, template_params=template)
+        self.params, self.cfg = ck["params"], cfg
+        self.graph = read_fst(os.path.join(graph_dir, "HLG.fst"))
+        word_syms = read_symbol_table(os.path.join(graph_dir, "words.txt"))
+        self.id2word = {v: k for k, v in word_syms.items()}
+        self.beam = beam
+        self.max_active = max_active
+        self.acoustic_scale = acoustic_scale
+        self.log_priors = (np.load(priors_file)
+                           if priors_file else None)
+        self.lock = threading.Lock()
+
+    def warmup(self):
+        feats = np.zeros((8, self.cfg.src_dim), np.float32)
+        self.recognize(feats)
+        info("hybrid recognizer warmed")
+
+    def check_features(self, feats):
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim != 2 or feats.shape[1] != self.cfg.src_dim:
+            raise ValueError(
+                f"expected [T, {self.cfg.src_dim}] features, got "
+                f"{feats.shape}")
+        return feats
+
+    def _posteriors(self, feats):
+        import jax.numpy as jnp
+
+        from pytorch_kaldi_asr_tpu.models.am import am_log_posteriors
+
+        logp, _ = am_log_posteriors(
+            self.params, self.cfg, jnp.asarray(feats[None]),
+            jnp.ones((1, feats.shape[0]), jnp.uint8))
+        out = np.asarray(logp[0], np.float64)
+        if self.log_priors is not None:
+            out = out - self.log_priors
+        return out
+
+    def recognize(self, feats, nbest=1):
+        from pytorch_kaldi_asr_tpu.decode.latgen import (
+            latgen,
+            latgen_lattice,
+        )
+        from pytorch_kaldi_asr_tpu.decode.lattice_ops import nbest as nb_op
+
+        feats = self.check_features(feats)
+        with self.lock:
+            posts = self._posteriors(feats)
+            if nbest > 1:
+                lat = latgen_lattice(self.graph, posts, beam=self.beam,
+                                     acoustic_scale=self.acoustic_scale,
+                                     max_active=self.max_active,
+                                     id2word=self.id2word)
+                if lat is None:
+                    return [], feats.shape[0]
+                hyps = [(" ".join(w), c) for w, c in nb_op(lat, nbest)]
+                return hyps, feats.shape[0]
+            res = latgen(self.graph, posts, beam=self.beam,
+                         acoustic_scale=self.acoustic_scale,
+                         max_active=self.max_active)
+            if res is None:
+                return [], feats.shape[0]
+            words, _phones, cost = res
+            text = " ".join(self.id2word.get(w, "<unk>") for w in words)
+            return [(text, float(cost))], feats.shape[0]
+
+    # -- streaming ---------------------------------------------------------
+
+    def new_stream(self):
+        from pytorch_kaldi_asr_tpu.decode.latgen import StreamingLatgen
+        from pytorch_kaldi_asr_tpu.models.am import am_log_posteriors
+        from pytorch_kaldi_asr_tpu.models.streaming import StreamingTDNN
+
+        def apply_fn(p, c, buf, m, pos_offset=0):
+            return am_log_posteriors(p, c, buf, m, pos_offset=pos_offset)
+
+        return _HybridStream(
+            StreamingTDNN(self.params, self.cfg, apply_fn),
+            StreamingLatgen(self.graph, beam=self.beam,
+                            acoustic_scale=self.acoustic_scale,
+                            max_active=self.max_active,
+                            log_priors=self.log_priors),
+            self.id2word, self.lock)
+
+
+class _HybridStream:
+    """Per-session state: chunked AM frontend + carried-token decoder."""
+
+    def __init__(self, frontend, decoder, id2word, lock):
+        self.frontend = frontend
+        self.decoder = decoder
+        self.id2word = id2word
+        self.lock = lock
+        self.frames = 0
+
+    def _words(self, ids):
+        return " ".join(self.id2word.get(w, "<unk>") for w in ids)
+
+    def push(self, feats):
+        """Feed [T, D] frames; returns (total_frames, partial_text)."""
+        self.frames += feats.shape[0]
+        with self.lock:
+            emit = self.frontend.push(feats[None])
+            if emit is not None:
+                self.decoder.push(emit[0])
+        p = self.decoder.partial()
+        return self.frames, (self._words(p[0]) if p else "")
+
+    def finish(self):
+        """(text, cost) of the final hypothesis (None if the beam died)."""
+        with self.lock:
+            tail = self.frontend.flush()
+            if tail is not None:
+                self.decoder.push(tail[0])
+        res = self.decoder.finish()
+        if res is None:
+            return None
+        words, _phones, cost = res
+        return self._words(words), float(cost)
+
+
 def _features_from_request(body, content_type, src_dim):
     """JSON feature matrix or WAV bytes -> ([T, D] features, payload)."""
     if content_type.startswith("audio/"):
@@ -199,6 +358,28 @@ class SessionStore:
             s["touched"] = time.time()
             return list(s["chunks"])
 
+    def get_stream(self, sid, recognizer):
+        """Hybrid mode: the session's _HybridStream, created on first use
+        (or None for an unknown/expired session)."""
+        with self._lock:
+            self._sweep(time.time())
+            s = self._sessions.get(sid)
+            if s is None:
+                return None
+            s["touched"] = time.time()
+            if "stream" not in s:
+                s["stream"] = recognizer.new_stream()
+            return s["stream"]
+
+    def touch(self, sid):
+        """True if the session still exists (refreshes its TTL)."""
+        with self._lock:
+            s = self._sessions.get(sid)
+            if s is None:
+                return False
+            s["touched"] = time.time()
+            return True
+
     def finish(self, sid):
         with self._lock:
             return self._sessions.pop(sid, None)
@@ -223,14 +404,21 @@ def make_handler(recognizer, sessions=None):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {
+                out = {
                     "status": "ok",
+                    "mode": ("hybrid"
+                             if hasattr(recognizer, "new_stream")
+                             else "attention"),
                     "encoder_type": recognizer.cfg.encoder_type,
                     "src_dim": recognizer.cfg.src_dim,
-                    "vocab_size": recognizer.cfg.vocab_size,
-                    "buckets": list(recognizer.buckets),
-                    "beam_size": recognizer.beam_size,
-                })
+                }
+                if hasattr(recognizer, "buckets"):
+                    out["buckets"] = list(recognizer.buckets)
+                    out["beam_size"] = recognizer.beam_size
+                    out["vocab_size"] = recognizer.cfg.vocab_size
+                else:
+                    out["beam"] = recognizer.beam
+                self._send(200, out)
             else:
                 self._send(404, {"error": "unknown path"})
 
@@ -274,6 +462,9 @@ def make_handler(recognizer, sessions=None):
                 self._send(404, {"error": "unknown stream path"})
                 return
             sid, verb = parts[2], parts[3]
+            if hasattr(recognizer, "new_stream"):
+                self._stream_hybrid(sid, verb)
+                return
             if verb == "push":
                 body = self._read_body()
                 ctype = self.headers.get("Content-Type",
@@ -323,6 +514,46 @@ def make_handler(recognizer, sessions=None):
                     out["truncated"] = True
                 self._send(200, out)
 
+        def _stream_hybrid(self, sid, verb):
+            """True streaming for the hybrid recognizer: per-session
+            chunked AM frontend + carried-token graph decoder; partials
+            come from the live token set for free."""
+            if verb == "push":
+                body = self._read_body()
+                ctype = self.headers.get("Content-Type",
+                                         "application/json")
+                feats, _payload = _features_from_request(
+                    body, ctype, recognizer.cfg.src_dim)
+                feats = recognizer.check_features(feats)
+                stream = sessions.get_stream(sid, recognizer)
+                if stream is None:
+                    self._send(404, {"error": f"no session {sid}"})
+                    return
+                frames, partial = stream.push(feats)
+                if not sessions.touch(sid):  # swept mid-push
+                    self._send(410, {"error": f"session {sid} expired"})
+                    return
+                self._send(200, {"frames": frames, "partial": partial})
+            else:  # finish
+                stream = sessions.get_stream(sid, recognizer)
+                if stream is None:
+                    self._send(404, {"error": f"no session {sid}"})
+                    return
+                t0 = time.time()
+                res = stream.finish()
+                sessions.finish(sid)
+                if res is None:
+                    self._send(200, {
+                        "nbest": [], "frames": stream.frames,
+                        "error": "no surviving path"})
+                    return
+                text, cost = res
+                self._send(200, {
+                    "nbest": [{"text": text, "score": -cost}],
+                    "frames": stream.frames,
+                    "latency_ms": round((time.time() - t0) * 1e3, 1),
+                })
+
     return Handler
 
 
@@ -332,18 +563,32 @@ def serve(recognizer, port, *, host="127.0.0.1"):
     from http.server import ThreadingHTTPServer
 
     httpd = ThreadingHTTPServer((host, port), make_handler(recognizer))
-    info("serving on %s:%d (buckets %s, beam %d)", host, port,
-         recognizer.buckets, recognizer.beam_size)
+    if hasattr(recognizer, "buckets"):
+        info("serving on %s:%d (buckets %s, beam %d)", host, port,
+             recognizer.buckets, recognizer.beam_size)
+    else:
+        info("serving on %s:%d (hybrid, graph beam %.1f)", host, port,
+             recognizer.beam)
     httpd.serve_forever()
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-read_model_file", required=True)
-    parser.add_argument("-read_vocab_file", required=True)
+    parser.add_argument("-read_vocab_file", default=None,
+                        help="vocab (attention mode)")
+    parser.add_argument("-graph_dir", default=None,
+                        help="HCLG graph dir -> hybrid AM mode with true "
+                             "streaming (the model file must be an AM "
+                             "checkpoint from recipes/train_am.py)")
+    parser.add_argument("-priors_file", default=None,
+                        help="hybrid mode: .npy log-priors to divide out")
+    parser.add_argument("-acoustic_scale", type=float, default=1.0)
     parser.add_argument("-port", type=int, default=8600)
     parser.add_argument("-host", default="127.0.0.1")
     parser.add_argument("-beam_size", type=int, default=8)
+    parser.add_argument("-beam", type=float, default=16.0,
+                        help="hybrid graph beam")
     parser.add_argument("-max_token_seq_len", type=int, default=None)
     parser.add_argument("-buckets", default=None,
                         help="comma-separated frame-length buckets "
@@ -352,12 +597,19 @@ def main(argv=None):
     parser.add_argument("-no_warmup", action="store_true")
     opt = parser.parse_args(argv)
 
-    buckets = (tuple(int(b) for b in opt.buckets.split(","))
-               if opt.buckets else DEFAULT_BUCKETS)
-    rec = Recognizer(opt.read_model_file, opt.read_vocab_file,
-                     beam_size=opt.beam_size,
-                     max_token_seq_len=opt.max_token_seq_len,
-                     buckets=buckets)
+    if opt.graph_dir:
+        rec = HybridRecognizer(opt.read_model_file, opt.graph_dir,
+                               beam=opt.beam, priors_file=opt.priors_file,
+                               acoustic_scale=opt.acoustic_scale)
+    else:
+        if not opt.read_vocab_file:
+            parser.error("-read_vocab_file is required without -graph_dir")
+        buckets = (tuple(int(b) for b in opt.buckets.split(","))
+                   if opt.buckets else DEFAULT_BUCKETS)
+        rec = Recognizer(opt.read_model_file, opt.read_vocab_file,
+                         beam_size=opt.beam_size,
+                         max_token_seq_len=opt.max_token_seq_len,
+                         buckets=buckets)
     if not opt.no_warmup:
         rec.warmup()
     serve(rec, opt.port, host=opt.host)

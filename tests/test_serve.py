@@ -161,3 +161,88 @@ def test_session_store_expiry_and_locked_append():
     store.start()  # triggers the sweep
     assert store.append(sid, chunk) is None
     assert store.snapshot(sid) is None
+
+
+@pytest.fixture(scope="module")
+def hybrid_setup(tmp_path_factory):
+    """Tiny AM checkpoint + HCLG graph dir for hybrid serving."""
+    from pytorch_kaldi_asr_tpu.fst.graph import mkgraph
+    from pytorch_kaldi_asr_tpu.fst.openfst_io import write_const_fst
+    from pytorch_kaldi_asr_tpu.lm.ngram import train_ngram_lm
+    from pytorch_kaldi_asr_tpu.models import TransformerConfig
+    from pytorch_kaldi_asr_tpu.models.am import init_am
+    from pytorch_kaldi_asr_tpu.recipes.mkgraph import write_symbol_table
+    from pytorch_kaldi_asr_tpu.train.checkpoint import save_checkpoint
+
+    tmp = tmp_path_factory.mktemp("hybrid")
+    phones = {p: i + 1 for i, p in enumerate("abkt")}
+    lexicon = {"bat": list("bat"), "at": list("at"), "tab": list("tab")}
+    lm = train_ngram_lm([s.split() for s in
+                         ["bat at", "at tab", "tab bat at"]], order=2)
+    word_syms = {w: i + 1 for i, w in enumerate(sorted(lexicon))}
+    graph, ph_ext = mkgraph(lexicon, lm, word_syms, phones, sil_phone=None,
+                            hmm_loops=True)
+    gdir = tmp / "graph"
+    gdir.mkdir()
+    write_const_fst(graph, str(gdir / "HLG.fst"))
+    write_symbol_table(str(gdir / "words.txt"), word_syms)
+
+    cfg = TransformerConfig(
+        src_dim=6, vocab_size=8, en_layers=1, de_layers=1, n_head=1,
+        en_d_model=16, de_d_model=16, d_k=8, d_v=8, encoder_max_len=64,
+        tdnn_contexts=((-1, 0, 1),), en_dropout=0.0, de_dropout=0.0,
+    )
+    params = init_am(jax.random.PRNGKey(0), cfg, n_targets=len(phones))
+    save_checkpoint(str(tmp / "am"), params, cfg, epoch=1,
+                    extra={"n_targets": len(phones), "model_kind": "am"})
+    return tmp, cfg, phones, lexicon
+
+
+def test_hybrid_server_offline_and_streaming(hybrid_setup):
+    """Hybrid mode end to end over HTTP: offline /recognize (n-best via
+    lattices) and TRUE streaming sessions must agree with each other."""
+    from http.server import ThreadingHTTPServer
+
+    tmp, cfg, phones, lexicon = hybrid_setup
+    rec = serve_mod.HybridRecognizer(str(tmp / "am"), str(tmp / "graph"),
+                                     beam=1e9)
+    rec.warmup()
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                serve_mod.make_handler(rec))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, obj=None):
+        data = json.dumps(obj).encode() if obj is not None else b""
+        req = urllib.request.Request(
+            base + path, data=data,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return json.loads(r.read())
+
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["mode"] == "hybrid"
+
+        rng = np.random.default_rng(4)
+        feats = rng.normal(size=(24, cfg.src_dim)).astype(np.float32)
+        off = post("/recognize", {"features": feats.tolist(), "nbest": 3})
+        assert off["frames"] == 24
+        assert off["nbest"], "hybrid offline decode returned nothing"
+
+        sid = post("/stream/start")["id"]
+        partials = []
+        for lo in range(0, 24, 6):
+            r = post(f"/stream/{sid}/push",
+                     {"features": feats[lo:lo + 6].tolist()})
+            partials.append(r["partial"])
+        assert r["frames"] == 24
+        final = post(f"/stream/{sid}/finish")
+        assert final["frames"] == 24
+        assert final["nbest"]
+        # streaming 1-best agrees with the offline decode
+        assert final["nbest"][0]["text"] == off["nbest"][0]["text"]
+    finally:
+        httpd.shutdown()
