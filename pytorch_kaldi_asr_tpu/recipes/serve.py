@@ -385,10 +385,44 @@ class SessionStore:
             return self._sessions.pop(sid, None)
 
 
-def make_handler(recognizer, sessions=None):
+class ServerStats:
+    """Cheap request counters + latency aggregates for /healthz."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.errors = 0
+        self.decode_ms_total = 0.0
+        self.decodes = 0
+        self.started = time.time()
+
+    def record(self, error=False, decode_ms=None):
+        with self._lock:
+            self.requests += 1
+            if error:
+                self.errors += 1
+            if decode_ms is not None:
+                self.decodes += 1
+                self.decode_ms_total += decode_ms
+
+    def summary(self):
+        with self._lock:
+            avg = (self.decode_ms_total / self.decodes
+                   if self.decodes else None)
+            return {
+                "requests": self.requests,
+                "errors": self.errors,
+                "decodes": self.decodes,
+                "avg_decode_ms": round(avg, 1) if avg is not None else None,
+                "uptime_s": round(time.time() - self.started, 1),
+            }
+
+
+def make_handler(recognizer, sessions=None, stats=None):
     from http.server import BaseHTTPRequestHandler
 
     sessions = sessions if sessions is not None else SessionStore()
+    stats = stats if stats is not None else ServerStats()
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, obj):
@@ -418,6 +452,7 @@ def make_handler(recognizer, sessions=None):
                     out["vocab_size"] = recognizer.cfg.vocab_size
                 else:
                     out["beam"] = recognizer.beam
+                out["stats"] = stats.summary()
                 self._send(200, out)
             else:
                 self._send(404, {"error": "unknown path"})
@@ -427,17 +462,23 @@ def make_handler(recognizer, sessions=None):
             return self.rfile.read(length)
 
         def do_POST(self):
+            t0 = time.time()
             try:
                 if self.path == "/recognize":
                     self._recognize()
+                    stats.record(decode_ms=(time.time() - t0) * 1e3)
                 elif self.path == "/stream/start":
                     self._send(200, {"id": sessions.start()})
+                    stats.record()
                 elif self.path.startswith("/stream/"):
                     self._stream()
+                    stats.record(decode_ms=(time.time() - t0) * 1e3)
                 else:
                     self._send(404, {"error": "unknown path"})
+                    stats.record(error=True)
             except Exception as e:  # noqa: BLE001 — server must not die
                 self._send(400, {"error": repr(e)[:500]})
+                stats.record(error=True)
 
         def _recognize(self):
             body = self._read_body()
@@ -562,6 +603,8 @@ def serve(recognizer, port, *, host="127.0.0.1"):
     serialized by the recognizer lock)."""
     from http.server import ThreadingHTTPServer
 
+    import signal
+
     httpd = ThreadingHTTPServer((host, port), make_handler(recognizer))
     if hasattr(recognizer, "buckets"):
         info("serving on %s:%d (buckets %s, beam %d)", host, port,
@@ -569,7 +612,17 @@ def serve(recognizer, port, *, host="127.0.0.1"):
     else:
         info("serving on %s:%d (hybrid, graph beam %.1f)", host, port,
              recognizer.beam)
+
+    def _term(_sig, _frame):
+        info("SIGTERM: draining and shutting down")
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _term)
+    except ValueError:  # not the main thread (tests)
+        pass
     httpd.serve_forever()
+    info("server stopped")
 
 
 def main(argv=None):

@@ -99,7 +99,12 @@ def test_http_end_to_end(recognizer, model_dir):
         assert e.value.code == 400
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
-            assert json.loads(r.read())["status"] == "ok"
+            health2 = json.loads(r.read())
+        assert health2["status"] == "ok"
+        # request counters moved: one good recognize, one error
+        assert health2["stats"]["requests"] >= 2
+        assert health2["stats"]["errors"] >= 1
+        assert health2["stats"]["decodes"] >= 1
     finally:
         httpd.shutdown()
 
