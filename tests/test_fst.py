@@ -461,3 +461,92 @@ def test_lattice_ark_non_topological_state_numbering(tmp_path):
     lat = openfst_io.read_compact_lattice(buf, {5: "hello", 6: "world"})
     assert lat.node_times == [0, 7, 4]  # state 1 reached via 0->2->1
     assert lat.best_path()[0] == ["hello", "world"]
+
+
+def test_binary_formats_edge_cases(tmp_path):
+    """Empty and degenerate machines roundtrip through both binary
+    layouts: no states, start-only, final-only-no-arcs."""
+    from pytorch_kaldi_asr_tpu.fst import openfst_io
+
+    # no states at all
+    empty = Fst()
+    for writer, name in ((empty.write_binary, "v"),
+                         (lambda p: openfst_io.write_const_fst(empty, p),
+                          "c")):
+        p = str(tmp_path / f"empty_{name}.fst")
+        writer(p)
+        g = openfst_io.read_fst(p)
+        assert g.num_states == 0 and g.start == -1
+
+    # single final state, no arcs
+    one = Fst()
+    s = one.add_state()
+    one.start = s
+    one.set_final(s, 1.5)
+    for writer, name in ((one.write_binary, "v"),
+                         (lambda p: openfst_io.write_const_fst(one, p),
+                          "c")):
+        p = str(tmp_path / f"one_{name}.fst")
+        writer(p)
+        g = openfst_io.read_fst(p)
+        assert g.num_states == 1
+        assert g.final_weight(0) == 1.5
+        assert g.num_arcs == 0
+
+
+def test_binary_roundtrip_random_fsts(tmp_path):
+    """Property test: random machines survive vector and const roundtrips
+    with identical structure (state count, arcs, finals, weights)."""
+    import random
+
+    from pytorch_kaldi_asr_tpu.fst import openfst_io
+
+    rnd = random.Random(13)
+    for trial in range(10):
+        f = Fst()
+        n = rnd.randint(1, 12)
+        for _ in range(n):
+            f.add_state()
+        f.start = rnd.randrange(n)
+        for _ in range(rnd.randint(0, 30)):
+            f.add_arc(rnd.randrange(n), rnd.randint(0, 9),
+                      rnd.randint(0, 9), round(rnd.uniform(-2, 5), 3),
+                      rnd.randrange(n))
+        for s in range(n):
+            if rnd.random() < 0.4:
+                f.set_final(s, round(rnd.uniform(0, 3), 3))
+
+        def structure(g):
+            return (g.start, g.num_states,
+                    sorted((s, a.ilabel, a.olabel, round(a.weight, 3),
+                            a.nextstate)
+                           for s in range(g.num_states) for a in g.arcs[s]),
+                    {s: round(w, 3) for s, w in g.final.items()})
+
+        pv = str(tmp_path / f"r{trial}_v.fst")
+        f.write_binary(pv)
+        assert structure(openfst_io.read_fst(pv)) == structure(f)
+        pc = str(tmp_path / f"r{trial}_c.fst")
+        openfst_io.write_const_fst(f, pc)
+        assert structure(openfst_io.read_fst(pc)) == structure(f)
+
+
+def test_lattice_ark_empty_and_single_node(tmp_path):
+    from pytorch_kaldi_asr_tpu.decode.lattice_io import WordLattice
+    from pytorch_kaldi_asr_tpu.fst import openfst_io
+
+    # single node, final, no links
+    lat = WordLattice(utt="solo")
+    n0 = lat.add_node(0)
+    lat.finals[n0] = 0.25
+    ark = str(tmp_path / "solo.ark")
+    openfst_io.write_lattice_ark([lat], ark, {})
+    (utt, got), = list(openfst_io.read_lattice_ark(ark, {}))
+    assert utt == "solo"
+    assert got.num_nodes == 1 and not got.links
+    assert abs(got.finals[0] - 0.25) < 1e-6
+
+    # empty ark file: iterator terminates immediately
+    open(str(tmp_path / "none.ark"), "wb").close()
+    assert list(openfst_io.read_lattice_ark(str(tmp_path / "none.ark"),
+                                            {})) == []
