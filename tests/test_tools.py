@@ -325,3 +325,89 @@ def test_copy_feats_method_numbering_matches_kaldi(tmp_path):
         assert token in (tmp_path / "m.ark").read_bytes()[:16], method
     assert cf.main(["--compress=true", "--compression-method=8",
                     f"scp:{tmp_path}/a.scp", f"ark:{tmp_path}/m.ark"]) == 1
+
+
+def test_divide_train_valid(tmp_path):
+    from pytorch_kaldi_asr_tpu.tools.divide_train_valid import (
+        divide_train_valid,
+    )
+
+    src = tmp_path / "src.txt"
+    tgt = tmp_path / "tgt.txt"
+    src.write_text("".join(f"source line {i}\n" for i in range(20)))
+    tgt.write_text("".join(f"target line {i}\n" for i in range(20)))
+    divide_train_valid(str(src), str(tgt), 0.25, str(tmp_path / "out"))
+    tr_s = open(tmp_path / "out.train.src").read().splitlines()
+    tr_t = open(tmp_path / "out.train.tgt").read().splitlines()
+    va_s = open(tmp_path / "out.valid.src").read().splitlines()
+    va_t = open(tmp_path / "out.valid.tgt").read().splitlines()
+    assert len(va_s) == 5 and len(tr_s) == 15
+    # pairing preserved: line i of src matches line i of tgt by index
+    for s, t in zip(tr_s + va_s, tr_t + va_t):
+        assert s.split()[-1] == t.split()[-1]
+    # no overlap, full coverage
+    assert sorted(tr_s + va_s) == sorted(f"source line {i}" for i in range(20))
+
+
+def test_tokenize_text_char_fallback(tmp_path):
+    """Without jieba the CJK path falls back to per-character splitting;
+    ASCII words stay whole."""
+    from pytorch_kaldi_asr_tpu.tools.tokenize_text import segment_file
+
+    src = tmp_path / "in.txt"
+    src.write_text("hello world\n")
+    out = tmp_path / "out.txt"
+    segment_file(str(src), str(out), language="chinese")
+    assert open(out).read().split() == ["hello", "world"]
+
+
+def test_compute_cmvn_stats_cli(tmp_path):
+    """The stage-0 CMVN pipeline as CLIs: compute stats per speaker, then
+    apply them; normalized speaker stats land at ~N(0,1)."""
+    from pytorch_kaldi_asr_tpu.tools import cmvn as cmvn_mod
+    from pytorch_kaldi_asr_tpu.tools import compute_cmvn_stats as ccs
+
+    rng = np.random.default_rng(21)
+    with kaldi_io.ArkWriter(str(tmp_path / "f.ark"),
+                            str(tmp_path / "f.scp")) as w:
+        for i in range(4):
+            w.write(f"u{i}", rng.normal(3.0, 2.0,
+                                        size=(50, 5)).astype(np.float32))
+    dd.write_table(str(tmp_path / "utt2spk"),
+                   {f"u{i}": f"s{i % 2}" for i in range(4)})
+    rc = ccs.main([
+        f"--utt2spk=ark:{tmp_path}/utt2spk",
+        f"scp:{tmp_path}/f.scp",
+        f"ark,scp:{tmp_path}/cmvn.ark,{tmp_path}/cmvn.scp",
+    ])
+    assert rc == 0
+    rc = cmvn_mod.main([
+        "--norm-vars=true", f"--utt2spk=ark:{tmp_path}/utt2spk",
+        f"scp:{tmp_path}/cmvn.scp", f"scp:{tmp_path}/f.scp",
+        f"ark,scp:{tmp_path}/n.ark,{tmp_path}/n.scp",
+    ])
+    assert rc == 0
+    normed = np.concatenate(
+        [m for _, m in kaldi_io.read_mat_scp(f"{tmp_path}/n.scp")])
+    np.testing.assert_allclose(normed.mean(0), 0.0, atol=1e-3)
+    np.testing.assert_allclose(normed.std(0), 1.0, atol=2e-2)
+
+
+def test_make_timit_shaped_structure(tmp_path):
+    """The synthetic corpus generator emits valid data dirs at TIMIT-like
+    scale ratios with parseable arks and aligned transcripts."""
+    from pytorch_kaldi_asr_tpu.tools import make_timit_shaped as mts
+
+    rc = mts.main(["-out_dir", str(tmp_path), "-scale", "0.02",
+                   "-feat_dim", "8"])
+    assert rc in (0, None)
+    base = tmp_path / "data"
+    for split, ref_n in (("train", 3696), ("dev", 384), ("test", 192)):
+        d = base / split
+        feats = dict(kaldi_io.read_mat_scp(str(d / "feats.scp")))
+        text = dd.read_table(str(d / "text"))
+        assert set(feats) == set(text)
+        assert abs(len(feats) - ref_n * 0.02) <= max(2, ref_n * 0.005)
+        m = next(iter(feats.values()))
+        assert m.shape[1] == 8 and m.shape[0] > 10
+        assert dd.validate_data_dir(str(d)) == []
