@@ -110,7 +110,7 @@ def test_grad_parity_loss():
 
     # torch side: rebuild forward with requires_grad on the embedding
     np_params = _np_params(params)
-    embed = torch.from_numpy(np_params["decoder"]["embed"]).clone()
+    embed = torch.tensor(np.array(np_params["decoder"]["embed"], copy=True))
     embed.requires_grad_(True)
     np_params["decoder"]["embed"] = embed  # torch_ref._t handles tensors? no —
 
@@ -140,7 +140,8 @@ def test_grad_parity_loss():
     finally:
         torch_ref._t = orig_t
 
-    np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=1e-4)
+    np.testing.assert_allclose(float(j_loss), float(t_loss.detach()),
+                           rtol=1e-4)
     np.testing.assert_allclose(
         np.asarray(j_grad["decoder"]["embed"]),
         embed.grad.numpy(),
@@ -171,7 +172,7 @@ def test_encoder_weight_grad_parity():
     j_grad = jax.grad(jax_loss)(params)
 
     np_params = _np_params(params)
-    w0 = torch.from_numpy(np_params["encoder"]["tdnn"][0]["w"]).clone()
+    w0 = torch.tensor(np.array(np_params["encoder"]["tdnn"][0]["w"], copy=True))
     w0.requires_grad_(True)
     np_params["encoder"]["tdnn"][0]["w"] = w0
 

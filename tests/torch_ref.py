@@ -17,7 +17,7 @@ import torch.nn.functional as F
 def _t(x):
     if isinstance(x, torch.Tensor):
         return x
-    return torch.from_numpy(np.asarray(x)).float()
+    return torch.from_numpy(np.array(x, copy=True)).float()
 
 
 def layer_norm(z, gamma, beta, eps=1e-3, skip_len1=True):
