@@ -251,3 +251,32 @@ def test_hybrid_server_offline_and_streaming(hybrid_setup):
         assert final["nbest"][0]["text"] == off["nbest"][0]["text"]
     finally:
         httpd.shutdown()
+
+
+def test_hybrid_interleaved_sessions_are_independent(hybrid_setup):
+    """Two concurrent streaming sessions must keep separate AM buffers and
+    decoder token sets — interleaved pushes of different audio give each
+    session the same result it gets alone."""
+    tmp, cfg, phones, lexicon = hybrid_setup
+    rec = serve_mod.HybridRecognizer(str(tmp / "am"), str(tmp / "graph"),
+                                     beam=1e9)
+    rng = np.random.default_rng(9)
+    a = rng.normal(size=(18, cfg.src_dim)).astype(np.float32)
+    b = rng.normal(size=(18, cfg.src_dim)).astype(np.float32)
+
+    # solo runs
+    solo = {}
+    for name, feats in (("a", a), ("b", b)):
+        st = rec.new_stream()
+        for lo in range(0, 18, 6):
+            st.push(feats[lo:lo + 6])
+        solo[name] = st.finish()
+
+    # interleaved runs
+    sa, sb = rec.new_stream(), rec.new_stream()
+    for lo in range(0, 18, 6):
+        sa.push(a[lo:lo + 6])
+        sb.push(b[lo:lo + 6])
+    got_a, got_b = sa.finish(), sb.finish()
+    assert got_a == solo["a"]
+    assert got_b == solo["b"]
