@@ -280,3 +280,41 @@ def test_hybrid_interleaved_sessions_are_independent(hybrid_setup):
     got_a, got_b = sa.finish(), sb.finish()
     assert got_a == solo["a"]
     assert got_b == solo["b"]
+
+
+def test_http_wav_input(model_dir):
+    """POST raw WAV bytes: fbank features are extracted on the fly with
+    num_bins = the model's src_dim."""
+    import io as _io
+
+    from http.server import ThreadingHTTPServer
+
+    from pytorch_kaldi_asr_tpu.tools.wav import write_wav
+
+    tmp, cfg = model_dir
+    rec = serve_mod.Recognizer(str(tmp / "model"), str(tmp / "vocab.txt"),
+                               beam_size=2, buckets=(8, 16))
+    rec.warmup()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                serve_mod.make_handler(rec))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.default_rng(5)
+        samples = (rng.normal(size=3200) * 0.1).astype(np.float32)
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            write_wav(f.name, samples, 16000)
+            wav_bytes = open(f.name, "rb").read()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/recognize", data=wav_bytes,
+            headers={"Content-Type": "audio/wav"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        # 3200 samples @16k, 25ms window / 10ms shift -> ~18 frames,
+        # truncated to the largest bucket (16)
+        assert out["frames"] >= 8
+        assert out["nbest"]
+    finally:
+        httpd.shutdown()
