@@ -116,32 +116,132 @@ class Recognizer:
                 f"{feats.shape}")
         return feats
 
-    def recognize(self, feats, nbest=1):
-        """feats: [T, D] float matrix -> ([(text, score)] best-first,
-        frames_decoded).  Inputs longer than the largest bucket are
-        truncated to it (frames_decoded < T tells the caller)."""
+    def recognize_many(self, feats_list, nbest=1, batch_pad=None):
+        """Decode several utterances in ONE fixed-shape batched search
+        (the request-coalescing fast path).  ``batch_pad`` fixes the
+        static batch dimension (defaults to len(feats_list)); extra rows
+        are masked out.  Returns ([hyps per utt], [frames decoded])."""
         from pytorch_kaldi_asr_tpu.decode.runner import (
             ids_to_words,
             nbest_from_result,
         )
 
-        feats = self.check_features(feats)
-        b = self._bucket(min(feats.shape[0], self.cfg.encoder_max_len))
-        t = min(feats.shape[0], b)
-        src = np.zeros((1, b, self.cfg.src_dim), np.float32)
-        src[0, :t] = feats[:t]
-        mask = np.zeros((1, b), np.uint8)
-        mask[0, :t] = 1
+        feats_list = [self.check_features(f) for f in feats_list]
+        n = len(feats_list)
+        bp = batch_pad or n
+        b = max(self._bucket(min(f.shape[0], self.cfg.encoder_max_len))
+                for f in feats_list)
+        src = np.zeros((bp, b, self.cfg.src_dim), np.float32)
+        mask = np.zeros((bp, b), np.uint8)
+        decoded = []
+        for i, f in enumerate(feats_list):
+            t = min(f.shape[0], b)
+            src[i, :t] = f[:t]
+            mask[i, :t] = 1
+            decoded.append(t)
         with self.lock:
             result = self.search(self.params, self.cfg, src, mask,
                                  beam_size=self.beam_size,
                                  max_len=self.max_len)
-            hyps = nbest_from_result(result, min(nbest, self.beam_size))[0]
-        out = []
-        for seq, score in hyps:
-            words = ids_to_words(seq[1:-1], self.idx2word)
-            out.append((" ".join(words), float(score)))
-        return out, t
+            batch_nbest = nbest_from_result(result,
+                                            min(nbest, self.beam_size))
+        outs = []
+        for hyps in batch_nbest[:n]:
+            out = []
+            for seq, score in hyps:
+                words = ids_to_words(seq[1:-1], self.idx2word)
+                out.append((" ".join(words), float(score)))
+            outs.append(out)
+        return outs, decoded
+
+    def recognize(self, feats, nbest=1):
+        """feats: [T, D] float matrix -> ([(text, score)] best-first,
+        frames_decoded).  Inputs longer than the largest bucket are
+        truncated to it (frames_decoded < T tells the caller)."""
+        outs, decoded = self.recognize_many([feats], nbest=nbest)
+        return outs[0], decoded[0]
+
+
+class MicroBatcher:
+    """Request coalescing: concurrent /recognize calls within a short
+    window ride ONE batched search of static batch size ``max_batch``
+    (padded rows masked), instead of queueing behind each other one by
+    one — the standard serving amortization for accelerator backends.
+    Compile-count discipline holds: shapes are (max_batch, bucket), one
+    per bucket, warmed like the singles."""
+
+    def __init__(self, recognizer, *, max_batch=8, window_ms=5.0):
+        import queue
+
+        self.rec = recognizer
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1e3
+        self._q = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def warmup(self):
+        self.rec.warmup()
+        for b in self.rec.buckets:
+            self.rec.recognize_many(
+                [np.zeros((b, self.rec.cfg.src_dim), np.float32)],
+                batch_pad=self.max_batch)
+        info("warmed batched shapes (batch %d)", self.max_batch)
+
+    def _run(self):
+        import queue
+
+        while True:
+            first = self._q.get()
+            group = [first]
+            deadline = time.time() + self.window_s
+            while len(group) < self.max_batch:
+                timeout = deadline - time.time()
+                if timeout <= 0:
+                    break
+                try:
+                    group.append(self._q.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            try:
+                feats = [g["feats"] for g in group]
+                nbest = max(g["nbest"] for g in group)
+                outs, decoded = self.rec.recognize_many(
+                    feats, nbest=nbest, batch_pad=self.max_batch)
+                for g, out, d in zip(group, outs, decoded):
+                    g["result"] = (out[:g["nbest"]], d)
+                    g["event"].set()
+            except Exception as e:  # noqa: BLE001 — fail the whole group
+                for g in group:
+                    g["error"] = e
+                    g["event"].set()
+
+    def recognize(self, feats, nbest=1):
+        """Same contract as Recognizer.recognize; blocks until the batch
+        containing this request completes."""
+        entry = {"feats": self.rec.check_features(feats), "nbest": nbest,
+                 "event": threading.Event()}
+        self._q.put(entry)
+        entry["event"].wait()
+        if "error" in entry:
+            raise entry["error"]
+        return entry["result"]
+
+    # the HTTP handler probes these for healthz / feature checks
+    @property
+    def cfg(self):
+        return self.rec.cfg
+
+    @property
+    def buckets(self):
+        return self.rec.buckets
+
+    @property
+    def beam_size(self):
+        return self.rec.beam_size
+
+    def check_features(self, feats):
+        return self.rec.check_features(feats)
 
 
 class HybridRecognizer:
@@ -647,6 +747,11 @@ def main(argv=None):
                         help="comma-separated frame-length buckets "
                              "(default 100,200,300,500 clipped to the "
                              "encoder max length)")
+    parser.add_argument("-max_batch", type=int, default=1,
+                        help=">1 coalesces concurrent requests into one "
+                             "batched search of this static size "
+                             "(attention mode)")
+    parser.add_argument("-batch_window_ms", type=float, default=5.0)
     parser.add_argument("-no_warmup", action="store_true")
     opt = parser.parse_args(argv)
 
@@ -663,6 +768,9 @@ def main(argv=None):
                          beam_size=opt.beam_size,
                          max_token_seq_len=opt.max_token_seq_len,
                          buckets=buckets)
+        if opt.max_batch > 1:
+            rec = MicroBatcher(rec, max_batch=opt.max_batch,
+                               window_ms=opt.batch_window_ms)
     if not opt.no_warmup:
         rec.warmup()
     serve(rec, opt.port, host=opt.host)

@@ -318,3 +318,62 @@ def test_http_wav_input(model_dir):
         assert out["nbest"]
     finally:
         httpd.shutdown()
+
+
+def test_recognize_many_matches_singles(recognizer, model_dir):
+    """One batched search over several utterances gives each the same
+    result as decoding it alone."""
+    _, cfg = model_dir
+    rng = np.random.default_rng(6)
+    feats = [rng.normal(size=(t, cfg.src_dim)).astype(np.float32)
+             for t in (5, 12, 7)]
+    singles = [recognizer.recognize(f, nbest=2) for f in feats]
+    batched, decoded = recognizer.recognize_many(feats, nbest=2,
+                                                 batch_pad=8)
+    assert decoded == [s[1] for s in singles]
+    for (s_hyps, _), b_hyps in zip(singles, batched):
+        assert [t for t, _ in b_hyps] == [t for t, _ in s_hyps]
+
+
+def test_micro_batcher_coalesces_and_is_correct(model_dir):
+    """Concurrent requests through the MicroBatcher return per-request
+    results identical to solo decoding, with fewer search invocations
+    than requests (coalescing actually happened)."""
+    tmp, cfg = model_dir
+    rec = serve_mod.Recognizer(str(tmp / "model"), str(tmp / "vocab.txt"),
+                               beam_size=3, buckets=(8, 16))
+    calls = {"n": 0}
+    inner = rec.search
+
+    def counting_search(*a, **kw):
+        calls["n"] += 1
+        return inner(*a, **kw)
+
+    rec.search = counting_search
+    mb = serve_mod.MicroBatcher(rec, max_batch=4, window_ms=200.0)
+    mb.warmup()
+    calls["n"] = 0
+
+    rng = np.random.default_rng(7)
+    feats = [rng.normal(size=(6 + i, cfg.src_dim)).astype(np.float32)
+             for i in range(8)]
+    solo = [rec.recognize(f) for f in feats]
+    calls["n"] = 0
+
+    results = [None] * 8
+
+    def worker(i):
+        results[i] = mb.recognize(feats[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert all(r is not None for r in results)
+    for got, want in zip(results, solo):
+        assert got[1] == want[1]  # frames
+        assert [t for t, _ in got[0]] == [t for t, _ in want[0]]
+    # 8 requests coalesced into at most 4 batched searches (max_batch=4,
+    # generous window); solo path would have used 8
+    assert calls["n"] <= 4, calls["n"]
