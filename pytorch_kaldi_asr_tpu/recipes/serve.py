@@ -181,12 +181,16 @@ class MicroBatcher:
         self._worker.start()
 
     def warmup(self):
-        self.rec.warmup()
+        # only the (max_batch, bucket) shapes: every request through the
+        # batcher uses batch_pad=max_batch, so the batch-1 shapes the
+        # plain Recognizer warms would be dead compilations here
         for b in self.rec.buckets:
+            t0 = time.time()
             self.rec.recognize_many(
                 [np.zeros((b, self.rec.cfg.src_dim), np.float32)],
                 batch_pad=self.max_batch)
-        info("warmed batched shapes (batch %d)", self.max_batch)
+            info("warmed batched bucket %d (batch %d) in %.1fs", b,
+                 self.max_batch, time.time() - t0)
 
     def _run(self):
         import queue
@@ -219,6 +223,9 @@ class MicroBatcher:
     def recognize(self, feats, nbest=1):
         """Same contract as Recognizer.recognize; blocks until the batch
         containing this request completes."""
+        # validate HERE, in the request thread: a malformed request must
+        # raise to its own caller, never fail the whole coalesced group
+        # inside the worker
         entry = {"feats": self.rec.check_features(feats), "nbest": nbest,
                  "event": threading.Event()}
         self._q.put(entry)
@@ -252,7 +259,8 @@ class HybridRecognizer:
     the same posteriors through latgen_lattice for n-best."""
 
     def __init__(self, model_file, graph_dir, *, beam=16.0, max_active=2000,
-                 priors_file=None, acoustic_scale=1.0):
+                 priors_file=None, acoustic_scale=1.0,
+                 buckets=DEFAULT_BUCKETS):
         import jax
 
         from pytorch_kaldi_asr_tpu.fst.openfst_io import read_fst
@@ -276,12 +284,24 @@ class HybridRecognizer:
         self.acoustic_scale = acoustic_scale
         self.log_priors = (np.load(priors_file)
                            if priors_file else None)
+        self.buckets = tuple(
+            b for b in sorted(buckets) if b <= cfg.encoder_max_len
+        ) or (cfg.encoder_max_len,)
         self.lock = threading.Lock()
 
+        from pytorch_kaldi_asr_tpu.models.am import am_log_posteriors
+
+        def fwd(params, src, mask):
+            logp, _ = am_log_posteriors(params, self.cfg, src, mask)
+            return logp
+
+        self._jit_fwd = jax.jit(fwd)
+
     def warmup(self):
-        feats = np.zeros((8, self.cfg.src_dim), np.float32)
-        self.recognize(feats)
-        info("hybrid recognizer warmed")
+        for b in self.buckets:
+            t0 = time.time()
+            self.recognize(np.zeros((b, self.cfg.src_dim), np.float32))
+            info("hybrid: warmed bucket %d in %.1fs", b, time.time() - t0)
 
     def check_features(self, feats):
         feats = np.asarray(feats, np.float32)
@@ -291,20 +311,31 @@ class HybridRecognizer:
                 f"{feats.shape}")
         return feats
 
+    def _bucket(self, t):
+        for b in self.buckets:
+            if t <= b:
+                return b
+        return self.buckets[-1]
+
     def _posteriors(self, feats):
-        import jax.numpy as jnp
-
-        from pytorch_kaldi_asr_tpu.models.am import am_log_posteriors
-
-        logp, _ = am_log_posteriors(
-            self.params, self.cfg, jnp.asarray(feats[None]),
-            jnp.ones((1, feats.shape[0]), jnp.uint8))
-        out = np.asarray(logp[0], np.float64)
+        """Jitted + length-bucketed AM forward: one compiled program per
+        bucket (the compile-count discipline the attention path keeps)."""
+        b = self._bucket(feats.shape[0])
+        t = min(feats.shape[0], b)
+        src = np.zeros((1, b, self.cfg.src_dim), np.float32)
+        src[0, :t] = feats[:t]
+        mask = np.zeros((1, b), np.uint8)
+        mask[0, :t] = 1
+        logp = self._jit_fwd(self.params, src, mask)
+        out = np.asarray(logp[0, :t], np.float64)
         if self.log_priors is not None:
             out = out - self.log_priors
-        return out
+        return out, t
 
     def recognize(self, feats, nbest=1):
+        """([(text, score)], frames_decoded); score = NEGATED graph cost,
+        so higher is better — the same convention as the attention mode's
+        log-prob scores on every endpoint."""
         from pytorch_kaldi_asr_tpu.decode.latgen import (
             latgen,
             latgen_lattice,
@@ -313,24 +344,24 @@ class HybridRecognizer:
 
         feats = self.check_features(feats)
         with self.lock:
-            posts = self._posteriors(feats)
+            posts, t = self._posteriors(feats)
             if nbest > 1:
                 lat = latgen_lattice(self.graph, posts, beam=self.beam,
                                      acoustic_scale=self.acoustic_scale,
                                      max_active=self.max_active,
                                      id2word=self.id2word)
                 if lat is None:
-                    return [], feats.shape[0]
-                hyps = [(" ".join(w), c) for w, c in nb_op(lat, nbest)]
-                return hyps, feats.shape[0]
+                    return [], t
+                hyps = [(" ".join(w), -c) for w, c in nb_op(lat, nbest)]
+                return hyps, t
             res = latgen(self.graph, posts, beam=self.beam,
                          acoustic_scale=self.acoustic_scale,
                          max_active=self.max_active)
             if res is None:
-                return [], feats.shape[0]
+                return [], t
             words, _phones, cost = res
             text = " ".join(self.id2word.get(w, "<unk>") for w in words)
-            return [(text, float(cost))], feats.shape[0]
+            return [(text, -float(cost))], t
 
     # -- streaming ---------------------------------------------------------
 
@@ -365,26 +396,31 @@ class _HybridStream:
         return " ".join(self.id2word.get(w, "<unk>") for w in ids)
 
     def push(self, feats):
-        """Feed [T, D] frames; returns (total_frames, partial_text)."""
-        self.frames += feats.shape[0]
+        """Feed [T, D] frames; returns (total_frames, partial_text).
+        All decoder/frontend state access stays under the lock — the
+        threading HTTP server may run pipelined pushes to the same
+        session on different threads, and partial() walks structures
+        that push()/_compact() mutate."""
         with self.lock:
+            self.frames += feats.shape[0]
             emit = self.frontend.push(feats[None])
             if emit is not None:
                 self.decoder.push(emit[0])
-        p = self.decoder.partial()
-        return self.frames, (self._words(p[0]) if p else "")
+            p = self.decoder.partial()
+            return self.frames, (self._words(p[0]) if p else "")
 
     def finish(self):
-        """(text, cost) of the final hypothesis (None if the beam died)."""
+        """(text, score) of the final hypothesis with score = -cost
+        (higher is better, matching /recognize); None if the beam died."""
         with self.lock:
             tail = self.frontend.flush()
             if tail is not None:
                 self.decoder.push(tail[0])
-        res = self.decoder.finish()
+            res = self.decoder.finish()
         if res is None:
             return None
         words, _phones, cost = res
-        return self._words(words), float(cost)
+        return self._words(words), -float(cost)
 
 
 def _features_from_request(body, content_type, src_dim):
@@ -471,6 +507,16 @@ class SessionStore:
                 s["stream"] = recognizer.new_stream()
             return s["stream"]
 
+    def peek_stream(self, sid):
+        """(exists, stream-or-None) without creating a stream — finish
+        must not build per-session state just to tear it down."""
+        with self._lock:
+            s = self._sessions.get(sid)
+            if s is None:
+                return False, None
+            s["touched"] = time.time()
+            return True, s.get("stream")
+
     def touch(self, sid):
         """True if the session still exists (refreshes its TTL)."""
         with self._lock:
@@ -494,7 +540,27 @@ class ServerStats:
         self.errors = 0
         self.decode_ms_total = 0.0
         self.decodes = 0
+        self.inflight = 0
         self.started = time.time()
+
+    def enter(self):
+        with self._lock:
+            self.inflight += 1
+
+    def leave(self):
+        with self._lock:
+            self.inflight -= 1
+
+    def wait_idle(self, timeout=30.0):
+        """Block until no requests are in flight (or timeout); True if
+        idle was reached — the drain barrier SIGTERM waits on."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            with self._lock:
+                if self.inflight == 0:
+                    return True
+            time.sleep(0.05)
+        return False
 
     def record(self, error=False, decode_ms=None):
         with self._lock:
@@ -546,12 +612,12 @@ def make_handler(recognizer, sessions=None, stats=None):
                     "encoder_type": recognizer.cfg.encoder_type,
                     "src_dim": recognizer.cfg.src_dim,
                 }
-                if hasattr(recognizer, "buckets"):
-                    out["buckets"] = list(recognizer.buckets)
+                out["buckets"] = list(recognizer.buckets)
+                if hasattr(recognizer, "new_stream"):  # hybrid
+                    out["beam"] = recognizer.beam
+                else:
                     out["beam_size"] = recognizer.beam_size
                     out["vocab_size"] = recognizer.cfg.vocab_size
-                else:
-                    out["beam"] = recognizer.beam
                 out["stats"] = stats.summary()
                 self._send(200, out)
             else:
@@ -563,6 +629,7 @@ def make_handler(recognizer, sessions=None, stats=None):
 
         def do_POST(self):
             t0 = time.time()
+            stats.enter()
             try:
                 if self.path == "/recognize":
                     self._recognize()
@@ -571,14 +638,21 @@ def make_handler(recognizer, sessions=None, stats=None):
                     self._send(200, {"id": sessions.start()})
                     stats.record()
                 elif self.path.startswith("/stream/"):
-                    self._stream()
-                    stats.record(decode_ms=(time.time() - t0) * 1e3)
+                    # only count a decode-latency sample when the stream
+                    # call actually decoded (404/410s must not pollute
+                    # avg_decode_ms while leaving errors at 0)
+                    if self._stream():
+                        stats.record(decode_ms=(time.time() - t0) * 1e3)
+                    else:
+                        stats.record(error=True)
                 else:
                     self._send(404, {"error": "unknown path"})
                     stats.record(error=True)
             except Exception as e:  # noqa: BLE001 — server must not die
                 self._send(400, {"error": repr(e)[:500]})
                 stats.record(error=True)
+            finally:
+                stats.leave()
 
         def _recognize(self):
             body = self._read_body()
@@ -598,14 +672,16 @@ def make_handler(recognizer, sessions=None, stats=None):
             self._send(200, out)
 
         def _stream(self):
+            """Returns True when the call was served (a 200), False for
+            unknown/expired sessions (404/410) — do_POST uses this to
+            keep the stats honest."""
             parts = self.path.split("/")  # ['', 'stream', sid, verb]
             if len(parts) != 4 or parts[3] not in ("push", "finish"):
                 self._send(404, {"error": "unknown stream path"})
-                return
+                return False
             sid, verb = parts[2], parts[3]
             if hasattr(recognizer, "new_stream"):
-                self._stream_hybrid(sid, verb)
-                return
+                return self._stream_hybrid(sid, verb)
             if verb == "push":
                 body = self._read_body()
                 ctype = self.headers.get("Content-Type",
@@ -618,7 +694,7 @@ def make_handler(recognizer, sessions=None, stats=None):
                 frames = sessions.append(sid, feats)
                 if frames is None:
                     self._send(404, {"error": f"no session {sid}"})
-                    return
+                    return False
                 out = {"frames": frames}
                 if payload.get("partial"):
                     chunks = sessions.snapshot(sid)
@@ -627,16 +703,17 @@ def make_handler(recognizer, sessions=None, stats=None):
                         hyps, _ = recognizer.recognize(acc, nbest=1)
                         out["partial"] = hyps[0][0] if hyps else ""
                 self._send(200, out)
+                return True
             else:  # finish: decode from a snapshot FIRST, pop only after
                 # success so a failed decode leaves the session retryable
                 chunks = sessions.snapshot(sid)
                 if chunks is None:
                     self._send(404, {"error": f"no session {sid}"})
-                    return
+                    return False
                 if not chunks:
                     sessions.finish(sid)
                     self._send(200, {"nbest": [], "frames": 0})
-                    return
+                    return True
                 payload = {}
                 body = self._read_body()
                 if body:
@@ -654,6 +731,7 @@ def make_handler(recognizer, sessions=None, stats=None):
                 if decoded < acc.shape[0]:
                     out["truncated"] = True
                 self._send(200, out)
+                return True
 
         def _stream_hybrid(self, sid, verb):
             """True streaming for the hybrid recognizer: per-session
@@ -669,17 +747,24 @@ def make_handler(recognizer, sessions=None, stats=None):
                 stream = sessions.get_stream(sid, recognizer)
                 if stream is None:
                     self._send(404, {"error": f"no session {sid}"})
-                    return
+                    return False
                 frames, partial = stream.push(feats)
                 if not sessions.touch(sid):  # swept mid-push
                     self._send(410, {"error": f"session {sid} expired"})
-                    return
+                    return False
                 self._send(200, {"frames": frames, "partial": partial})
+                return True
             else:  # finish
-                stream = sessions.get_stream(sid, recognizer)
-                if stream is None:
+                exists, stream = sessions.peek_stream(sid)
+                if not exists:
                     self._send(404, {"error": f"no session {sid}"})
-                    return
+                    return False
+                if stream is None or stream.frames == 0:
+                    # nothing was pushed: same empty contract as the
+                    # attention mode, no spurious "no surviving path"
+                    sessions.finish(sid)
+                    self._send(200, {"nbest": [], "frames": 0})
+                    return True
                 t0 = time.time()
                 res = stream.finish()
                 sessions.finish(sid)
@@ -687,13 +772,14 @@ def make_handler(recognizer, sessions=None, stats=None):
                     self._send(200, {
                         "nbest": [], "frames": stream.frames,
                         "error": "no surviving path"})
-                    return
-                text, cost = res
+                    return True
+                text, score = res
                 self._send(200, {
-                    "nbest": [{"text": text, "score": -cost}],
+                    "nbest": [{"text": text, "score": score}],
                     "frames": stream.frames,
                     "latency_ms": round((time.time() - t0) * 1e3, 1),
                 })
+                return True
 
     return Handler
 
@@ -705,16 +791,18 @@ def serve(recognizer, port, *, host="127.0.0.1"):
 
     import signal
 
-    httpd = ThreadingHTTPServer((host, port), make_handler(recognizer))
-    if hasattr(recognizer, "buckets"):
+    stats = ServerStats()
+    httpd = ThreadingHTTPServer((host, port),
+                                make_handler(recognizer, stats=stats))
+    if hasattr(recognizer, "new_stream"):
+        info("serving on %s:%d (hybrid, buckets %s, graph beam %.1f)",
+             host, port, recognizer.buckets, recognizer.beam)
+    else:
         info("serving on %s:%d (buckets %s, beam %d)", host, port,
              recognizer.buckets, recognizer.beam_size)
-    else:
-        info("serving on %s:%d (hybrid, graph beam %.1f)", host, port,
-             recognizer.beam)
 
     def _term(_sig, _frame):
-        info("SIGTERM: draining and shutting down")
+        info("SIGTERM: stop accepting, draining in-flight requests")
         threading.Thread(target=httpd.shutdown, daemon=True).start()
 
     try:
@@ -722,7 +810,14 @@ def serve(recognizer, port, *, host="127.0.0.1"):
     except ValueError:  # not the main thread (tests)
         pass
     httpd.serve_forever()
-    info("server stopped")
+    # serve_forever returned: the accept loop is closed, but handler
+    # threads may still be mid-decode — wait for them before exiting so
+    # no client gets a connection reset
+    if stats.wait_idle(timeout=30.0):
+        info("server drained and stopped")
+    else:
+        info("server stopped with requests still in flight after 30s")
+    httpd.server_close()
 
 
 def main(argv=None):

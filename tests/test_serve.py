@@ -377,3 +377,50 @@ def test_micro_batcher_coalesces_and_is_correct(model_dir):
     # 8 requests coalesced into at most 4 batched searches (max_batch=4,
     # generous window); solo path would have used 8
     assert calls["n"] <= 4, calls["n"]
+
+
+def test_hybrid_score_convention_and_empty_finish(hybrid_setup):
+    """Scores are higher-is-better everywhere in hybrid mode, and a
+    finish without any push returns the same empty contract as the
+    attention mode (no spurious 'no surviving path')."""
+    from http.server import ThreadingHTTPServer
+
+    tmp, cfg, phones, lexicon = hybrid_setup
+    rec = serve_mod.HybridRecognizer(str(tmp / "am"), str(tmp / "graph"),
+                                     beam=1e9, buckets=(32,))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                serve_mod.make_handler(rec))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, obj=None):
+        data = json.dumps(obj).encode() if obj is not None else b""
+        req = urllib.request.Request(
+            base + path, data=data,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return json.loads(r.read())
+
+    try:
+        rng = np.random.default_rng(11)
+        feats = rng.normal(size=(20, cfg.src_dim)).astype(np.float32)
+        off = post("/recognize", {"features": feats.tolist(), "nbest": 3})
+        scores = [h["score"] for h in off["nbest"]]
+        # best-first means descending scores (higher is better)
+        assert scores == sorted(scores, reverse=True)
+
+        sid = post("/stream/start")["id"]
+        for lo in range(0, 20, 5):
+            post(f"/stream/{sid}/push",
+                 {"features": feats[lo:lo + 5].tolist()})
+        fin = post(f"/stream/{sid}/finish")
+        # streaming score matches the offline 1-best sign and value class
+        assert abs(fin["nbest"][0]["score"] - off["nbest"][0]["score"]) < 1.0
+
+        # finish without any push: clean empty contract
+        sid2 = post("/stream/start")["id"]
+        empty = post(f"/stream/{sid2}/finish")
+        assert empty == {"nbest": [], "frames": 0}
+    finally:
+        httpd.shutdown()
