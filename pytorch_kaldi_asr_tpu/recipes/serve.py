@@ -850,15 +850,16 @@ def main(argv=None):
     parser.add_argument("-no_warmup", action="store_true")
     opt = parser.parse_args(argv)
 
+    buckets = (tuple(int(b) for b in opt.buckets.split(","))
+               if opt.buckets else DEFAULT_BUCKETS)
     if opt.graph_dir:
         rec = HybridRecognizer(opt.read_model_file, opt.graph_dir,
                                beam=opt.beam, priors_file=opt.priors_file,
-                               acoustic_scale=opt.acoustic_scale)
+                               acoustic_scale=opt.acoustic_scale,
+                               buckets=buckets)
     else:
         if not opt.read_vocab_file:
             parser.error("-read_vocab_file is required without -graph_dir")
-        buckets = (tuple(int(b) for b in opt.buckets.split(","))
-                   if opt.buckets else DEFAULT_BUCKETS)
         rec = Recognizer(opt.read_model_file, opt.read_vocab_file,
                          beam_size=opt.beam_size,
                          max_token_seq_len=opt.max_token_seq_len,
