@@ -175,3 +175,98 @@ def sp_banded_encode(params, cfg, src, mask, mesh, *, seq_axis="seq"):
     except TypeError:  # pragma: no cover - older jax
         fn = shard_map(body, check_rep=False, **kw)
     return fn(src, mask)
+
+
+# ---------------------------------------------------------------------------
+# sequence-parallel Conformer (inference)
+# ---------------------------------------------------------------------------
+
+
+def _sp_conv_module(p, x, valid, cfg, axis_name):
+    """Conformer conv module on a time shard: everything is position-local
+    except the depthwise conv, whose reach is (kernel-1)//2 frames each
+    way — exchanged as halos on the GLU output (models/encoders.py
+    _conv_module semantics, inference)."""
+    dtype = cfg.compute_dtype
+    h = layer_norm(x, p["ln"]["gamma"], p["ln"]["beta"], skip_len1=False)
+    h = h.astype(dtype) @ p["pw1"]["w"].astype(dtype) + p["pw1"]["b"].astype(
+        dtype)
+    a, bgate = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.sigmoid(bgate)  # GLU
+    h = h * valid[..., None].astype(h.dtype)
+
+    kernel = p["dw"]["w"].astype(dtype)  # [K, D]
+    k = kernel.shape[0]
+    pad_l = (k - 1) // 2
+    pad_r = k - 1 - pad_l
+    lh, rh = halo_exchange(h, pad_l, pad_r, axis_name)
+    hk = _cat_with_halos(h, lh, rh)
+    # VALID conv over [pad_l | local | pad_r]: output length == local
+    # (boundary shards' zero halos reproduce offline SAME zero padding)
+    out = jax.lax.conv_general_dilated(
+        hk.transpose(0, 2, 1), kernel.T[:, None, :],
+        window_strides=(1,), padding=[(0, 0)],
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        feature_group_count=hk.shape[-1],
+    ).transpose(0, 2, 1) + p["dw"]["b"].astype(dtype)
+    out = out.astype(cfg.conformer_stream_dtype)
+    out = layer_norm(out, p["norm"]["gamma"], p["norm"]["beta"],
+                     skip_len1=False)
+    out = jax.nn.swish(out)
+    out = out.astype(dtype) @ p["pw2"]["w"].astype(dtype) + p["pw2"][
+        "b"].astype(dtype)
+    return x + out.astype(cfg.conformer_stream_dtype)
+
+
+def _sp_half_ffn(p, x, cfg):
+    h = layer_norm(x, p["ln"]["gamma"], p["ln"]["beta"], skip_len1=False)
+    dtype = cfg.compute_dtype
+    h = jax.nn.swish(h.astype(dtype) @ p["w1"]["w"].astype(dtype)
+                     + p["w1"]["b"].astype(dtype))
+    h = h @ p["w2"]["w"].astype(dtype) + p["w2"]["b"].astype(dtype)
+    return x + 0.5 * h.astype(cfg.conformer_stream_dtype)
+
+
+def _sp_conformer_local(params, cfg, src, mask, *, axis_name):
+    sl = src.shape[1]
+    shard = jax.lax.axis_index(axis_name)
+    table = position_encoding_table(cfg.encoder_max_len, cfg.en_d_model)
+    gidx = jnp.clip(shard * sl + jnp.arange(sl), 0, cfg.encoder_max_len - 1)
+    dtype = cfg.compute_dtype
+    sd = cfg.conformer_stream_dtype
+
+    x = src.astype(dtype) @ params["src_proj"]["w"].astype(dtype)
+    x = x.astype(sd) + table[gidx][None].astype(sd)
+    for layer in params["layers"]:
+        x = _sp_half_ffn(layer["ffn1"], x, cfg)
+        x = sp_banded_attention(layer["mhsa"], x, mask, cfg, axis_name)
+        x = _sp_conv_module(layer["conv"], x, mask, cfg, axis_name)
+        x = _sp_half_ffn(layer["ffn2"], x, cfg)
+    return x
+
+
+def sp_conformer_encode(params, cfg, src, mask, mesh, *, seq_axis="seq"):
+    """Conformer encoder forward with the TIME axis sharded (inference).
+    Halo reach per layer: the attention band plus (kernel-1)//2 for the
+    depthwise conv — both bounded, so collectives stay neighbor-only."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    n = mesh.shape[seq_axis]
+    if src.shape[1] % n != 0:
+        raise ValueError(
+            f"sequence length {src.shape[1]} not divisible by the "
+            f"'{seq_axis}' mesh axis ({n}); pad with mask=0 frames")
+    kw = dict(
+        mesh=mesh,
+        in_specs=(P(None, seq_axis, None), P(None, seq_axis)),
+        out_specs=P(None, seq_axis, None),
+    )
+    body = partial(_sp_conformer_local, params, cfg, axis_name=seq_axis)
+    try:
+        fn = shard_map(body, check_vma=False, **kw)
+    except TypeError:  # pragma: no cover - older jax
+        fn = shard_map(body, check_rep=False, **kw)
+    return fn(src, mask)

@@ -85,3 +85,29 @@ def test_halo_exchange_contents():
             assert got[7, 2] == 0  # boundary: zero right halo
         else:
             assert got[i, 2] == 4 * (i + 1)  # first frame of shard i+1
+
+
+def test_sp_conformer_matches_single_device():
+    """Sequence-parallel Conformer inference (attention band halo + conv
+    kernel halo) equals the single-device forward."""
+    from pytorch_kaldi_asr_tpu.models.encoders import conformer_encode
+    from pytorch_kaldi_asr_tpu.parallel.sequence import sp_conformer_encode
+
+    cfg = small_cfg(encoder_type="conformer", encoder_sub_sequence=(-8, 0),
+                    conformer_kernel=7, encoder_max_len=64)
+    params = init_transformer(jax.random.PRNGKey(3), cfg)["encoder"]
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.normal(size=(2, 64, cfg.src_dim)
+                                 ).astype(np.float32))
+    mask = np.ones((2, 64), np.uint8)
+    mask[1, 54:] = 0
+    mask = jnp.asarray(mask)
+    ref, _ = conformer_encode(params, cfg, src, mask)
+    mesh = make_seq_mesh(8)
+    got = sp_conformer_encode(params, cfg, src, mask, mesh)
+    # valid frames must match; the conv smears pad-frame content inside
+    # its kernel reach, so compare only where mask == 1 (downstream
+    # consumers mask pads anyway)
+    m = np.asarray(mask, bool)
+    np.testing.assert_allclose(np.asarray(got)[m], np.asarray(ref)[m],
+                               atol=3e-5, rtol=3e-5)
