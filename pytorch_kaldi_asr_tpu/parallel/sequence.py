@@ -19,10 +19,13 @@ Provided:
   with halos, reusing ops.banded_attention_blocked on the concatenated
   [halo_l | local | halo_r] keys (queries left-padded so the band indices
   line up globally);
-- :func:`sp_banded_encode` — the full banded encoder (models/encoders.py
-  banded_encode semantics, inference mode) under ``shard_map`` with the
-  sequence axis sharded;  numerically equal to the single-device forward
-  (pinned by tests/test_sequence_parallel.py on an 8-device CPU mesh).
+- :func:`sp_banded_encode` / :func:`sp_conformer_encode` — full encoder
+  forwards (models/encoders.py semantics, inference mode) under
+  ``shard_map`` with the sequence axis sharded; numerically equal to the
+  single-device forward (pinned by tests/test_sequence_parallel.py on an
+  8-device CPU mesh).  The Conformer additionally exchanges a
+  (kernel-1)//2 halo for its depthwise conv.
+- :func:`sp_encode` — dispatch by ``cfg.encoder_type``.
 """
 
 from __future__ import annotations
@@ -270,3 +273,22 @@ def sp_conformer_encode(params, cfg, src, mask, mesh, *, seq_axis="seq"):
     except TypeError:  # pragma: no cover - older jax
         fn = shard_map(body, check_rep=False, **kw)
     return fn(src, mask)
+
+
+SP_ENCODERS = {
+    "banded": sp_banded_encode,
+    "conformer": sp_conformer_encode,
+}
+
+
+def sp_encode(params, cfg, src, mask, mesh, *, seq_axis="seq"):
+    """Sequence-parallel encoder forward dispatched by cfg.encoder_type
+    (banded and conformer support time sharding; the FIR-style tdnn/tdnnf
+    encoders stream instead — models/streaming.py)."""
+    try:
+        fn = SP_ENCODERS[cfg.encoder_type]
+    except KeyError:
+        raise ValueError(
+            f"encoder_type {cfg.encoder_type!r} has no sequence-parallel "
+            f"forward (available: {sorted(SP_ENCODERS)})") from None
+    return fn(params, cfg, src, mask, mesh, seq_axis=seq_axis)
