@@ -78,10 +78,12 @@ def _cat_with_halos(x, left, right):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
-def sp_banded_attention(p, x, valid, cfg, axis_name):
-    """One banded self-attention block on a time shard (post-LN residual,
-    multi_head_attention semantics at f32).  ``valid`` is the local
-    [B, S_local] frame mask."""
+def sp_banded_attention(p, x, valid, cfg, axis_name, *, conformer=False):
+    """One banded self-attention block on a time shard (post-LN residual).
+    ``valid`` is the local [B, S_local] frame mask.  ``conformer=True``
+    mirrors _conformer_mhsa's dtype contract: q/k/v/proj computed in
+    cfg.compute_dtype, the residual stream kept in
+    cfg.conformer_stream_dtype."""
     from pytorch_kaldi_asr_tpu.ops.banded_attention import (
         banded_attention_blocked,
     )
@@ -112,9 +114,13 @@ def sp_banded_attention(p, x, valid, cfg, axis_name):
     kp = jnp.pad(xk, ((0, 0), (0, pad_to - total), (0, 0)))
     vkp = jnp.pad(vk, ((0, 0), (0, pad_to - total)))
 
-    qs = jnp.einsum("bld,hdk->bhlk", qp, p["w_qs"]).reshape(b * h, pad_to, -1)
-    ks = jnp.einsum("bld,hdk->bhlk", kp, p["w_ks"]).reshape(b * h, pad_to, -1)
-    vs = jnp.einsum("bld,hdv->bhlv", kp, p["w_vs"]).reshape(b * h, pad_to, -1)
+    cdt = cfg.compute_dtype if conformer else qp.dtype
+    qs = jnp.einsum("bld,hdk->bhlk", qp.astype(cdt),
+                    p["w_qs"].astype(cdt)).reshape(b * h, pad_to, -1)
+    ks = jnp.einsum("bld,hdk->bhlk", kp.astype(cdt),
+                    p["w_ks"].astype(cdt)).reshape(b * h, pad_to, -1)
+    vs = jnp.einsum("bld,hdv->bhlv", kp.astype(cdt),
+                    p["w_vs"].astype(cdt)).reshape(b * h, pad_to, -1)
     key_valid = jnp.repeat(vkp.astype(jnp.int32), h, axis=0)
     out = banded_attention_blocked(
         qs, ks, vs, key_valid, start=start, end=end,
@@ -122,8 +128,10 @@ def sp_banded_attention(p, x, valid, cfg, axis_name):
     )
     out = out.reshape(b, h, pad_to, -1)[:, :, halo_l:halo_l + sl]
     out = out.transpose(0, 2, 1, 3).reshape(b, sl, -1)
-    out = out @ p["proj"]["w"] + p["proj"]["b"]
+    out = out @ p["proj"]["w"].astype(cdt) + p["proj"]["b"].astype(cdt)
     out = out + x
+    if conformer:
+        out = out.astype(cfg.conformer_stream_dtype)
     return layer_norm(out, p["ln"]["gamma"], p["ln"]["beta"],
                       skip_len1=cfg.ln_skip_len1)
 
@@ -150,13 +158,9 @@ def _sp_encode_local(params, cfg, src, mask, *, axis_name):
     return x
 
 
-def sp_banded_encode(params, cfg, src, mask, mesh, *, seq_axis="seq"):
-    """Banded encoder forward with the TIME axis sharded over ``mesh``.
-
-    ``src`` [B, S, D] and ``mask`` [B, S] with S divisible by the mesh's
-    ``seq_axis`` size.  Returns the [B, S, d_model] encoder output (same
-    sharding).  Inference only — the training path keeps time on-chip and
-    shards batch/model axes instead (parallel/mesh.py)."""
+def _sp_shard(body, mesh, seq_axis, src, mask):
+    """Run a per-shard encoder body under shard_map with the time axis
+    sharded (shared wrapper: jax version compat + divisibility check)."""
     try:
         from jax import shard_map  # jax >= 0.8
     except ImportError:  # pragma: no cover - older jax
@@ -172,12 +176,22 @@ def sp_banded_encode(params, cfg, src, mask, mesh, *, seq_axis="seq"):
         in_specs=(P(None, seq_axis, None), P(None, seq_axis)),
         out_specs=P(None, seq_axis, None),
     )
-    body = partial(_sp_encode_local, params, cfg, axis_name=seq_axis)
     try:  # jax >= 0.8 names the replication check differently
         fn = shard_map(body, check_vma=False, **kw)
     except TypeError:  # pragma: no cover - older jax
         fn = shard_map(body, check_rep=False, **kw)
     return fn(src, mask)
+
+
+def sp_banded_encode(params, cfg, src, mask, mesh, *, seq_axis="seq"):
+    """Banded encoder forward with the TIME axis sharded over ``mesh``.
+
+    ``src`` [B, S, D] and ``mask`` [B, S] with S divisible by the mesh's
+    ``seq_axis`` size.  Returns the [B, S, d_model] encoder output (same
+    sharding).  Inference only — the training path keeps time on-chip and
+    shards batch/model axes instead (parallel/mesh.py)."""
+    return _sp_shard(partial(_sp_encode_local, params, cfg,
+                             axis_name=seq_axis), mesh, seq_axis, src, mask)
 
 
 # ---------------------------------------------------------------------------
@@ -202,6 +216,11 @@ def _sp_conv_module(p, x, valid, cfg, axis_name):
     k = kernel.shape[0]
     pad_l = (k - 1) // 2
     pad_r = k - 1 - pad_l
+    if pad_l > h.shape[1] or pad_r > h.shape[1]:
+        raise ValueError(
+            f"conv kernel reach ({pad_l}/{pad_r}) exceeds the local shard "
+            f"length {h.shape[1]}: the halo pulls only the immediate "
+            "neighbor — use fewer sequence shards (or a smaller kernel)")
     lh, rh = halo_exchange(h, pad_l, pad_r, axis_name)
     hk = _cat_with_halos(h, lh, rh)
     # VALID conv over [pad_l | local | pad_r]: output length == local
@@ -242,7 +261,8 @@ def _sp_conformer_local(params, cfg, src, mask, *, axis_name):
     x = x.astype(sd) + table[gidx][None].astype(sd)
     for layer in params["layers"]:
         x = _sp_half_ffn(layer["ffn1"], x, cfg)
-        x = sp_banded_attention(layer["mhsa"], x, mask, cfg, axis_name)
+        x = sp_banded_attention(layer["mhsa"], x, mask, cfg, axis_name,
+                                conformer=True)
         x = _sp_conv_module(layer["conv"], x, mask, cfg, axis_name)
         x = _sp_half_ffn(layer["ffn2"], x, cfg)
     return x
@@ -252,27 +272,8 @@ def sp_conformer_encode(params, cfg, src, mask, mesh, *, seq_axis="seq"):
     """Conformer encoder forward with the TIME axis sharded (inference).
     Halo reach per layer: the attention band plus (kernel-1)//2 for the
     depthwise conv — both bounded, so collectives stay neighbor-only."""
-    try:
-        from jax import shard_map  # jax >= 0.8
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
-
-    n = mesh.shape[seq_axis]
-    if src.shape[1] % n != 0:
-        raise ValueError(
-            f"sequence length {src.shape[1]} not divisible by the "
-            f"'{seq_axis}' mesh axis ({n}); pad with mask=0 frames")
-    kw = dict(
-        mesh=mesh,
-        in_specs=(P(None, seq_axis, None), P(None, seq_axis)),
-        out_specs=P(None, seq_axis, None),
-    )
-    body = partial(_sp_conformer_local, params, cfg, axis_name=seq_axis)
-    try:
-        fn = shard_map(body, check_vma=False, **kw)
-    except TypeError:  # pragma: no cover - older jax
-        fn = shard_map(body, check_rep=False, **kw)
-    return fn(src, mask)
+    return _sp_shard(partial(_sp_conformer_local, params, cfg,
+                             axis_name=seq_axis), mesh, seq_axis, src, mask)
 
 
 SP_ENCODERS = {

@@ -62,6 +62,25 @@ from pytorch_kaldi_asr_tpu.utils.logging import info
 DEFAULT_BUCKETS = (100, 200, 300, 500)
 
 
+def _clip_buckets(buckets, max_len):
+    return tuple(b for b in sorted(buckets) if b <= max_len) or (max_len,)
+
+
+def _pick_bucket(buckets, t):
+    for b in buckets:
+        if t <= b:
+            return b
+    return buckets[-1]
+
+
+def _check_features(feats, src_dim):
+    feats = np.asarray(feats, np.float32)
+    if feats.ndim != 2 or feats.shape[1] != src_dim:
+        raise ValueError(
+            f"expected [T, {src_dim}] features, got {feats.shape}")
+    return feats
+
+
 class Recognizer:
     """Model + vocab + jit-warmed bucketed beam search; thread-safe via a
     lock (jit dispatch is serialized anyway on one chip)."""
@@ -79,9 +98,7 @@ class Recognizer:
         self.idx2word = {i: w for w, i in self.word2idx.items()}
         self.beam_size = beam_size
         self.max_len = max_token_seq_len or self.cfg.decoder_max_len
-        self.buckets = tuple(
-            b for b in sorted(buckets) if b <= self.cfg.encoder_max_len
-        ) or (self.cfg.encoder_max_len,)
+        self.buckets = _clip_buckets(buckets, self.cfg.encoder_max_len)
         self.search = _pick_search(self.cfg, use_cache)
         self.lock = threading.Lock()
 
@@ -103,18 +120,10 @@ class Recognizer:
             info("warmed bucket %d in %.1fs", b, time.time() - t0)
 
     def _bucket(self, t):
-        for b in self.buckets:
-            if t <= b:
-                return b
-        return self.buckets[-1]
+        return _pick_bucket(self.buckets, t)
 
     def check_features(self, feats):
-        feats = np.asarray(feats, np.float32)
-        if feats.ndim != 2 or feats.shape[1] != self.cfg.src_dim:
-            raise ValueError(
-                f"expected [T, {self.cfg.src_dim}] features, got "
-                f"{feats.shape}")
-        return feats
+        return _check_features(feats, self.cfg.src_dim)
 
     def recognize_many(self, feats_list, nbest=1, batch_pad=None):
         """Decode several utterances in ONE fixed-shape batched search
@@ -284,9 +293,7 @@ class HybridRecognizer:
         self.acoustic_scale = acoustic_scale
         self.log_priors = (np.load(priors_file)
                            if priors_file else None)
-        self.buckets = tuple(
-            b for b in sorted(buckets) if b <= cfg.encoder_max_len
-        ) or (cfg.encoder_max_len,)
+        self.buckets = _clip_buckets(buckets, cfg.encoder_max_len)
         self.lock = threading.Lock()
 
         from pytorch_kaldi_asr_tpu.models.am import am_log_posteriors
@@ -298,24 +305,23 @@ class HybridRecognizer:
         self._jit_fwd = jax.jit(fwd)
 
     def warmup(self):
+        """Compile the jitted AM forward per bucket.  The graph Viterbi is
+        pure Python (nothing to compile) — decoding zeros at full length
+        here would cost minutes of pointless CPU, not warmup."""
         for b in self.buckets:
             t0 = time.time()
-            self.recognize(np.zeros((b, self.cfg.src_dim), np.float32))
-            info("hybrid: warmed bucket %d in %.1fs", b, time.time() - t0)
+            src = np.zeros((1, b, self.cfg.src_dim), np.float32)
+            mask = np.zeros((1, b), np.uint8)
+            mask[0, :2] = 1
+            np.asarray(self._jit_fwd(self.params, src, mask))
+            info("hybrid: warmed AM bucket %d in %.1fs", b,
+                 time.time() - t0)
 
     def check_features(self, feats):
-        feats = np.asarray(feats, np.float32)
-        if feats.ndim != 2 or feats.shape[1] != self.cfg.src_dim:
-            raise ValueError(
-                f"expected [T, {self.cfg.src_dim}] features, got "
-                f"{feats.shape}")
-        return feats
+        return _check_features(feats, self.cfg.src_dim)
 
     def _bucket(self, t):
-        for b in self.buckets:
-            if t <= b:
-                return b
-        return self.buckets[-1]
+        return _pick_bucket(self.buckets, t)
 
     def _posteriors(self, feats):
         """Jitted + length-bucketed AM forward: one compiled program per
@@ -591,6 +597,16 @@ def make_handler(recognizer, sessions=None, stats=None):
     stats = stats if stats is not None else ServerStats()
 
     class Handler(BaseHTTPRequestHandler):
+        def handle(self):
+            # inflight covers the WHOLE connection (header parsing, GETs,
+            # decode) so the SIGTERM drain barrier cannot exit while any
+            # accepted request is being served
+            stats.enter()
+            try:
+                super().handle()
+            finally:
+                stats.leave()
+
         def _send(self, code, obj):
             data = json.dumps(obj).encode("utf-8")
             self.send_response(code)
@@ -628,31 +644,30 @@ def make_handler(recognizer, sessions=None, stats=None):
             return self.rfile.read(length)
 
         def do_POST(self):
+            # handlers RETURN (code, payload, verdict); stats are recorded
+            # BEFORE the response is sent so a client that fires its next
+            # request immediately observes up-to-date counters
             t0 = time.time()
-            stats.enter()
             try:
                 if self.path == "/recognize":
-                    self._recognize()
-                    stats.record(decode_ms=(time.time() - t0) * 1e3)
+                    code, out, verdict = self._recognize()
                 elif self.path == "/stream/start":
-                    self._send(200, {"id": sessions.start()})
-                    stats.record()
+                    code, out, verdict = 200, {"id": sessions.start()}, "ok"
                 elif self.path.startswith("/stream/"):
-                    # only count a decode-latency sample when the stream
-                    # call actually decoded (404/410s must not pollute
-                    # avg_decode_ms while leaving errors at 0)
-                    if self._stream():
-                        stats.record(decode_ms=(time.time() - t0) * 1e3)
-                    else:
-                        stats.record(error=True)
+                    code, out, verdict = self._stream()
                 else:
-                    self._send(404, {"error": "unknown path"})
-                    stats.record(error=True)
+                    code, out, verdict = 404, {"error": "unknown path"}, None
             except Exception as e:  # noqa: BLE001 — server must not die
-                self._send(400, {"error": repr(e)[:500]})
+                code, out, verdict = 400, {"error": repr(e)[:500]}, None
+            # verdicts: "decode" = latency sample, "ok" = plain request,
+            # None = error (404/410/exception)
+            if verdict == "decode":
+                stats.record(decode_ms=(time.time() - t0) * 1e3)
+            elif verdict == "ok":
+                stats.record()
+            else:
                 stats.record(error=True)
-            finally:
-                stats.leave()
+            self._send(code, out)
 
         def _recognize(self):
             body = self._read_body()
@@ -669,16 +684,16 @@ def make_handler(recognizer, sessions=None, stats=None):
             }
             if decoded < np.asarray(feats).shape[0]:
                 out["truncated"] = True  # input exceeded the largest bucket
-            self._send(200, out)
+            return 200, out, "decode"
 
         def _stream(self):
-            """Returns True when the call was served (a 200), False for
-            unknown/expired sessions (404/410) — do_POST uses this to
+            """Returns (code, payload, verdict): verdict "decode" for
+            calls that ran a model, "ok" for served non-decoding calls,
+            None for unknown/expired sessions — do_POST uses this to
             keep the stats honest."""
             parts = self.path.split("/")  # ['', 'stream', sid, verb]
             if len(parts) != 4 or parts[3] not in ("push", "finish"):
-                self._send(404, {"error": "unknown stream path"})
-                return False
+                return 404, {"error": "unknown stream path"}, None
             sid, verb = parts[2], parts[3]
             if hasattr(recognizer, "new_stream"):
                 return self._stream_hybrid(sid, verb)
@@ -693,27 +708,25 @@ def make_handler(recognizer, sessions=None, stats=None):
                 feats = recognizer.check_features(feats)
                 frames = sessions.append(sid, feats)
                 if frames is None:
-                    self._send(404, {"error": f"no session {sid}"})
-                    return False
+                    return 404, {"error": f"no session {sid}"}, None
                 out = {"frames": frames}
+                decoded = False
                 if payload.get("partial"):
                     chunks = sessions.snapshot(sid)
                     if chunks:
                         acc = np.concatenate(chunks, axis=0)
                         hyps, _ = recognizer.recognize(acc, nbest=1)
                         out["partial"] = hyps[0][0] if hyps else ""
-                self._send(200, out)
-                return True
+                        decoded = True
+                return 200, out, ("decode" if decoded else "ok")
             else:  # finish: decode from a snapshot FIRST, pop only after
                 # success so a failed decode leaves the session retryable
                 chunks = sessions.snapshot(sid)
                 if chunks is None:
-                    self._send(404, {"error": f"no session {sid}"})
-                    return False
+                    return 404, {"error": f"no session {sid}"}, None
                 if not chunks:
                     sessions.finish(sid)
-                    self._send(200, {"nbest": [], "frames": 0})
-                    return True
+                    return 200, {"nbest": [], "frames": 0}, "ok"
                 payload = {}
                 body = self._read_body()
                 if body:
@@ -730,8 +743,7 @@ def make_handler(recognizer, sessions=None, stats=None):
                 }
                 if decoded < acc.shape[0]:
                     out["truncated"] = True
-                self._send(200, out)
-                return True
+                return 200, out, "decode"
 
         def _stream_hybrid(self, sid, verb):
             """True streaming for the hybrid recognizer: per-session
@@ -746,40 +758,33 @@ def make_handler(recognizer, sessions=None, stats=None):
                 feats = recognizer.check_features(feats)
                 stream = sessions.get_stream(sid, recognizer)
                 if stream is None:
-                    self._send(404, {"error": f"no session {sid}"})
-                    return False
+                    return 404, {"error": f"no session {sid}"}, None
                 frames, partial = stream.push(feats)
                 if not sessions.touch(sid):  # swept mid-push
-                    self._send(410, {"error": f"session {sid} expired"})
-                    return False
-                self._send(200, {"frames": frames, "partial": partial})
-                return True
+                    return 410, {"error": f"session {sid} expired"}, None
+                return 200, {"frames": frames, "partial": partial}, "decode"
             else:  # finish
                 exists, stream = sessions.peek_stream(sid)
                 if not exists:
-                    self._send(404, {"error": f"no session {sid}"})
-                    return False
+                    return 404, {"error": f"no session {sid}"}, None
                 if stream is None or stream.frames == 0:
                     # nothing was pushed: same empty contract as the
                     # attention mode, no spurious "no surviving path"
                     sessions.finish(sid)
-                    self._send(200, {"nbest": [], "frames": 0})
-                    return True
+                    return 200, {"nbest": [], "frames": 0}, "ok"
                 t0 = time.time()
                 res = stream.finish()
                 sessions.finish(sid)
                 if res is None:
-                    self._send(200, {
+                    return 200, {
                         "nbest": [], "frames": stream.frames,
-                        "error": "no surviving path"})
-                    return True
+                        "error": "no surviving path"}, "decode"
                 text, score = res
-                self._send(200, {
+                return 200, {
                     "nbest": [{"text": text, "score": score}],
                     "frames": stream.frames,
                     "latency_ms": round((time.time() - t0) * 1e3, 1),
-                })
-                return True
+                }, "decode"
 
     return Handler
 
@@ -812,7 +817,9 @@ def serve(recognizer, port, *, host="127.0.0.1"):
     httpd.serve_forever()
     # serve_forever returned: the accept loop is closed, but handler
     # threads may still be mid-decode — wait for them before exiting so
-    # no client gets a connection reset
+    # no client gets a connection reset.  The brief sleep lets threads
+    # spawned for just-accepted connections reach their enter() call.
+    time.sleep(0.2)
     if stats.wait_idle(timeout=30.0):
         info("server drained and stopped")
     else:
