@@ -111,3 +111,30 @@ def test_sp_conformer_matches_single_device():
     m = np.asarray(mask, bool)
     np.testing.assert_allclose(np.asarray(got)[m], np.asarray(ref)[m],
                                atol=3e-5, rtol=3e-5)
+
+
+def test_sp_conformer_bf16_stream_matches_single_device():
+    """The bf16-stream config (compute + stream bfloat16) must also match
+    the single-device forward — sp_banded_attention carries the Conformer
+    dtype contract."""
+    from pytorch_kaldi_asr_tpu.models.encoders import conformer_encode
+    from pytorch_kaldi_asr_tpu.parallel.sequence import sp_conformer_encode
+
+    cfg = small_cfg(encoder_type="conformer", encoder_sub_sequence=(-8, 0),
+                    conformer_kernel=7, encoder_max_len=64,
+                    compute_dtype=jnp.bfloat16,
+                    conformer_stream_dtype=jnp.bfloat16)
+    params = init_transformer(jax.random.PRNGKey(5), cfg)["encoder"]
+    rng = np.random.default_rng(5)
+    src = jnp.asarray(rng.normal(size=(2, 64, cfg.src_dim)
+                                 ).astype(np.float32))
+    mask = jnp.asarray(np.ones((2, 64), np.uint8))
+    ref, _ = conformer_encode(params, cfg, src, mask)
+    got = sp_conformer_encode(params, cfg, src, mask, make_seq_mesh(8))
+    assert got.dtype == ref.dtype == jnp.bfloat16
+    scale = float(jnp.abs(ref.astype(jnp.float32)).max())
+    err = float(jnp.abs(ref.astype(jnp.float32)
+                        - got.astype(jnp.float32)).max())
+    # bf16 rounding differs slightly between the padded/sharded and the
+    # monolithic execution; must stay within a few ulps of the range
+    assert err < 0.05 * scale, (err, scale)
