@@ -24,7 +24,9 @@ Provided:
   ``shard_map`` with the sequence axis sharded; numerically equal to the
   single-device forward (pinned by tests/test_sequence_parallel.py on an
   8-device CPU mesh).  The Conformer additionally exchanges a
-  (kernel-1)//2 halo for its depthwise conv.
+  (kernel-1)//2 halo for its depthwise conv.  The whole construction is
+  DIFFERENTIABLE (ppermute has a transpose rule), gradient-pinned equal
+  to single-device — SP training works on the dropout-free path.
 - :func:`sp_encode` — dispatch by ``cfg.encoder_type``.
 """
 
@@ -188,8 +190,10 @@ def sp_banded_encode(params, cfg, src, mask, mesh, *, seq_axis="seq"):
 
     ``src`` [B, S, D] and ``mask`` [B, S] with S divisible by the mesh's
     ``seq_axis`` size.  Returns the [B, S, d_model] encoder output (same
-    sharding).  Inference only — the training path keeps time on-chip and
-    shards batch/model axes instead (parallel/mesh.py)."""
+    sharding).  Differentiable end to end (gradients pinned equal to the
+    single-device forward); the standard training path still shards
+    batch/model axes instead (parallel/mesh.py) since recipe utterances
+    fit on one chip."""
     return _sp_shard(partial(_sp_encode_local, params, cfg,
                              axis_name=seq_axis), mesh, seq_axis, src, mask)
 

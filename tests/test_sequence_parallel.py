@@ -138,3 +138,34 @@ def test_sp_conformer_bf16_stream_matches_single_device():
     # bf16 rounding differs slightly between the padded/sharded and the
     # monolithic execution; must stay within a few ulps of the range
     assert err < 0.05 * scale, (err, scale)
+
+
+def test_sp_gradients_match_single_device():
+    """shard_map + ppermute are differentiable: gradients through the
+    sequence-parallel forward equal the single-device gradients, so SP
+    can train (dropout-free path), not just infer."""
+    from pytorch_kaldi_asr_tpu.models.encoders import banded_encode
+    from pytorch_kaldi_asr_tpu.parallel.sequence import sp_banded_encode
+
+    cfg = small_cfg(encoder_type="banded", encoder_sub_sequence=(-8, 0),
+                    encoder_max_len=64)
+    params = init_transformer(jax.random.PRNGKey(0), cfg)["encoder"]
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.normal(size=(2, 64, cfg.src_dim)
+                                 ).astype(np.float32))
+    mask = jnp.asarray(np.ones((2, 64), np.uint8))
+    mesh = make_seq_mesh(8)
+
+    def loss_sp(p):
+        return jnp.sum(sp_banded_encode(p, cfg, src, mask, mesh) ** 2)
+
+    def loss_ref(p):
+        return jnp.sum(banded_encode(p, cfg, src, mask)[0] ** 2)
+
+    g_sp = jax.grad(loss_sp)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_sp)[0],
+            jax.tree_util.tree_flatten_with_path(g_ref)[0]):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        assert rel < 1e-5, (path, rel)
