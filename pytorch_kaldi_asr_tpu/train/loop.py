@@ -53,15 +53,20 @@ def _fast_forward_counts(opt_state, step):
     return jax.tree_util.tree_map_with_path(fix, opt_state)
 
 
-def run_train_epoch(state, train_step, loader, prefetch=None):
+def run_train_epoch(state, train_step, loader, prefetch=None,
+                    stop_flag=None):
     """One full training pass; returns (state, loss/word, accuracy).
 
     Metrics stay on-device during the epoch (jnp accumulators, converted
     once at the end): a per-step ``float()`` would force a host sync after
-    every step and stall the device while the host pads the next batch."""
+    every step and stall the device while the host pads the next batch.
+    ``stop_flag`` (a callable) ends the pass after the current batch —
+    the preemption hook."""
     total_loss = total_correct = total_words = None
     batches = prefetch(loader) if prefetch else loader
     for batch in batches:
+        if stop_flag is not None and stop_flag():
+            break
         state, metrics = train_step(
             state, batch.src, batch.src_mask, batch.tgt, batch.tgt_mask
         )
@@ -129,13 +134,36 @@ def train_model(
     resume=False,
     save_opt_state=True,
     metrics_path=None,
+    preempt_signal="SIGTERM",
 ):
     """Full training driver; returns (best_params, best_epoch, best_accu).
 
     ``resume=True`` continues from the newest epoch.N checkpoint (params,
     optimizer state, and step all restored — unlike the reference, where
-    resumption was manual and dropped optimizer state, train.py:341-342)."""
+    resumption was manual and dropped optimizer state, train.py:341-342).
+
+    ``preempt_signal`` (default SIGTERM; None disables) arms
+    preemption-aware checkpointing: on the signal, training stops after
+    the in-flight batch and saves a ``preempt`` checkpoint (params +
+    optimizer state + true global step); ``resume=True`` prefers it and
+    re-runs the interrupted epoch from the mid-epoch state."""
     os.makedirs(save_model_dir, exist_ok=True)
+    preempted = {"flag": False}
+    if preempt_signal:
+        import signal as _signal
+
+        signum = (getattr(_signal, preempt_signal)
+                  if isinstance(preempt_signal, str) else preempt_signal)
+
+        def _on_preempt(_sig, _frame):
+            warning("preemption signal received: will checkpoint after "
+                    "the current batch")
+            preempted["flag"] = True
+
+        try:
+            _signal.signal(signum, _on_preempt)
+        except ValueError:  # not the main thread (tests)
+            pass
     state, tx = create_train_state(
         params, start_lr=start_lr, soft_coefficient=soft_coefficient,
         rng=jax.random.key(seed, impl="rbg"),
@@ -144,6 +172,19 @@ def train_model(
     resumed_epoch = 0
     if resume:
         path, last_epoch = latest_epoch_checkpoint(save_model_dir)
+        preempt_path = os.path.join(save_model_dir, "preempt")
+        if os.path.isdir(preempt_path):
+            from pytorch_kaldi_asr_tpu.train.checkpoint import (
+                read_checkpoint_config,
+            )
+
+            _, pmeta = read_checkpoint_config(preempt_path)
+            # the preempt snapshot is newer than any epoch.N at or below
+            # its recorded epoch; prefer it so no mid-epoch work is lost
+            if path is None or pmeta.get("epoch", -1) >= last_epoch:
+                path, last_epoch = preempt_path, pmeta.get("epoch", 0)
+                info("found preemption checkpoint (interrupted epoch %d)",
+                     last_epoch + 1)
         if path is not None:
             ckpt = load_checkpoint(path, template_opt_state=state.opt_state)
             if ckpt["opt_state"] is not None:
@@ -234,8 +275,28 @@ def train_model(
                    else None)
             _prefetch = functools.partial(prefetch_to_device,
                                           transfer_dtype=tdt)
-        state, loss, accu = run_train_epoch(state, train_step, train_loader,
-                                            prefetch=_prefetch)
+        state, loss, accu = run_train_epoch(
+            state, train_step, train_loader, prefetch=_prefetch,
+            stop_flag=lambda: preempted["flag"])
+        if preempted["flag"]:
+            ppath = os.path.join(save_model_dir, "preempt")
+            save_checkpoint(
+                ppath, jax.device_get(state.params), cfg, epoch=epoch - 1,
+                step=int(state.step),
+                opt_state=(jax.device_get(state.opt_state)
+                           if save_opt_state else None),
+                extra={"preempted_in_epoch": epoch},
+            )
+            info("preempted: saved %s at step %d (epoch %d interrupted); "
+                 "rerun with -resume to continue", ppath, int(state.step),
+                 epoch)
+            if best_accu < 0:
+                # no epoch completed yet: the initial ``params`` tree was
+                # donated by the jitted step — snapshot the live state so
+                # the final best-save below stays valid
+                best_params = jax.device_get(state.params)
+                best_epoch = max(epoch - 1, 0)
+            break
         info(
             "-----(Training)----- accuracy: %3.2f %%, elapse: %3.2f min",
             100 * accu, (time.time() - start) / 60,

@@ -136,3 +136,58 @@ def test_average_params_progressive_equals_mean():
         ),
         mean, running,
     )
+
+
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """SIGUSR1 mid-training stops after the in-flight batch, saves a
+    'preempt' checkpoint (params+opt+step), and resume=True continues
+    from it, re-running the interrupted epoch."""
+    import os
+    import signal
+    import threading
+
+    from pytorch_kaldi_asr_tpu.data.loader import BatchLoader
+    from pytorch_kaldi_asr_tpu.models.transformer import init_transformer
+    from pytorch_kaldi_asr_tpu.train.checkpoint import read_checkpoint_config
+    from pytorch_kaldi_asr_tpu.train.loop import train_model
+    from tests.test_models import small_cfg
+
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    triples = [
+        (f"u{i}", rng.normal(size=(8, cfg.src_dim)).astype(np.float32),
+         np.array([2, 4, 5, 3]))
+        for i in range(8)
+    ]
+    train_loader = BatchLoader(triples, batch_size=4, mode="drop")
+    dev_loader = BatchLoader(triples, batch_size=4, mode="all")
+    test_loader = dev_loader
+    mdir = str(tmp_path / "exp")
+
+    # fire the signal shortly after training starts; epochs is huge so
+    # the run is guaranteed to still be inside the epoch loop
+    timer = threading.Timer(3.0, os.kill, (os.getpid(), signal.SIGUSR1))
+    timer.start()
+    try:
+        train_model(params, cfg, train_loader, dev_loader, test_loader,
+                    mdir, epochs=100000, save_interval=100000,
+                    preempt_signal="SIGUSR1", metrics_path=None)
+    finally:
+        timer.cancel()
+    ppath = os.path.join(mdir, "preempt")
+    assert os.path.isdir(ppath), "no preemption checkpoint written"
+    _, meta = read_checkpoint_config(ppath)
+    assert meta["step"] > 0
+    interrupted = meta["preempted_in_epoch"]
+    assert interrupted >= 1
+
+    # resume: prefers the preempt snapshot and completes a short run
+    # (fresh init tree — the first run's jitted step donated the old one)
+    params2 = init_transformer(jax.random.PRNGKey(3), cfg)
+    best_params, best_epoch, best_accu = train_model(
+        params2, cfg, train_loader, dev_loader, test_loader, mdir,
+        epochs=interrupted + 1, save_interval=1, resume=True,
+        preempt_signal=None)
+    assert best_epoch >= interrupted
+    assert best_accu >= 0
