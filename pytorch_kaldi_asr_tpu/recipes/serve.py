@@ -21,7 +21,11 @@ Endpoints (stdlib http.server; zero dependencies):
   frame-synchronous decoder; for that, pair models/streaming.py with
   decode.latgen.StreamingLatgen on the hybrid path).
 - ``POST /stream/<id>/finish``  final n-best, closes the session.
-- ``GET /healthz``  liveness + model/config summary.
+- ``POST /reload``  hot checkpoint reload: swap weights in place (body
+  optionally ``{"model_file": path}``; config must match — no recompiles,
+  no dropped requests).
+- ``GET /healthz``  liveness + model/config summary + request stats with
+  a decode-latency histogram and p50/p95/p99.
 
 Two modes:
 
@@ -94,6 +98,8 @@ class Recognizer:
 
         ck = load_checkpoint(model_file)
         self.params, self.cfg = ck["params"], ck["cfg"]
+        self.model_file = model_file
+        self.model_meta = ck.get("meta", {})
         self.word2idx = instances.read_vocab(vocab_file)
         self.idx2word = {i: w for w, i in self.word2idx.items()}
         self.beam_size = beam_size
@@ -101,6 +107,28 @@ class Recognizer:
         self.buckets = _clip_buckets(buckets, self.cfg.encoder_max_len)
         self.search = _pick_search(self.cfg, use_cache)
         self.lock = threading.Lock()
+
+    def reload(self, model_file=None):
+        """Hot checkpoint reload: swap in new weights WITHOUT recompiling
+        or dropping requests — the config must match the serving one (the
+        compiled programs are specialized to it), so this serves the
+        train-longer/fine-tune redeploy, not an architecture change.
+        Returns the new checkpoint's meta."""
+        from pytorch_kaldi_asr_tpu.train.checkpoint import load_checkpoint
+
+        path = model_file or self.model_file
+        ck = load_checkpoint(path)
+        if ck["cfg"] != self.cfg:
+            raise ValueError(
+                f"checkpoint config at {path!r} differs from the serving "
+                f"config; restart the server for architecture changes")
+        with self.lock:  # swap between searches, never mid-search
+            self.params = ck["params"]
+            self.model_file = path
+            self.model_meta = ck.get("meta", {})
+        info("reloaded checkpoint %s (epoch %s, step %s)", path,
+             self.model_meta.get("epoch"), self.model_meta.get("step"))
+        return dict(self.model_meta)
 
     def warmup(self):
         """Compile every bucket before serving (first-compile latency must
@@ -118,6 +146,17 @@ class Recognizer:
                                  max_len=self.max_len)
             jax.block_until_ready(result)
             info("warmed bucket %d in %.1fs", b, time.time() - t0)
+
+    def warmup_batched(self, max_batch):
+        """Compile the (max_batch, bucket) search shapes (MicroBatcher
+        serving: every request rides a batch_pad=max_batch search)."""
+        for b in self.buckets:
+            t0 = time.time()
+            self.recognize_many(
+                [np.zeros((b, self.cfg.src_dim), np.float32)],
+                batch_pad=max_batch)
+            info("warmed batched bucket %d (batch %d) in %.1fs", b,
+                 max_batch, time.time() - t0)
 
     def _bucket(self, t):
         return _pick_bucket(self.buckets, t)
@@ -192,14 +231,8 @@ class MicroBatcher:
     def warmup(self):
         # only the (max_batch, bucket) shapes: every request through the
         # batcher uses batch_pad=max_batch, so the batch-1 shapes the
-        # plain Recognizer warms would be dead compilations here
-        for b in self.rec.buckets:
-            t0 = time.time()
-            self.rec.recognize_many(
-                [np.zeros((b, self.rec.cfg.src_dim), np.float32)],
-                batch_pad=self.max_batch)
-            info("warmed batched bucket %d (batch %d) in %.1fs", b,
-                 self.max_batch, time.time() - t0)
+        # plain recognizer warms would be dead compilations here
+        self.rec.warmup_batched(self.max_batch)
 
     def _run(self):
         import queue
@@ -243,21 +276,20 @@ class MicroBatcher:
             raise entry["error"]
         return entry["result"]
 
-    # the HTTP handler probes these for healthz / feature checks
-    @property
-    def cfg(self):
-        return self.rec.cfg
+    def reload(self, model_file=None):
+        # in-flight batches finish on the old params (the recognizer lock
+        # orders the swap); queued ones pick up the new ones
+        return self.rec.reload(model_file)
 
-    @property
-    def buckets(self):
-        return self.rec.buckets
-
-    @property
-    def beam_size(self):
-        return self.rec.beam_size
-
-    def check_features(self, feats):
-        return self.rec.check_features(feats)
+    def __getattr__(self, name):
+        # transparent delegation of everything else the HTTP layer probes
+        # (cfg, buckets, beam/beam_size, check_features, new_stream for
+        # hybrid true streaming) — the batcher only intercepts the
+        # offline recognize path
+        rec = self.__dict__.get("rec")
+        if rec is None:
+            raise AttributeError(name)
+        return getattr(rec, name)
 
 
 class HybridRecognizer:
@@ -285,6 +317,8 @@ class HybridRecognizer:
                               meta.get("n_targets"))
         ck = load_checkpoint(model_file, template_params=template)
         self.params, self.cfg = ck["params"], cfg
+        self.model_file = model_file
+        self.model_meta = dict(meta)
         self.graph = read_fst(os.path.join(graph_dir, "HLG.fst"))
         word_syms = read_symbol_table(os.path.join(graph_dir, "words.txt"))
         self.id2word = {v: k for k, v in word_syms.items()}
@@ -317,57 +351,122 @@ class HybridRecognizer:
             info("hybrid: warmed AM bucket %d in %.1fs", b,
                  time.time() - t0)
 
+    def warmup_batched(self, max_batch):
+        """Compile the (max_batch, bucket) AM shapes only — the graph
+        Viterbi is host-side Python, so (unlike the attention path)
+        there is nothing else to warm, and running it over bucket-length
+        zero posteriors would burn minutes of CPU for nothing."""
+        for b in self.buckets:
+            t0 = time.time()
+            self._posteriors_many(
+                [np.zeros((b, self.cfg.src_dim), np.float32)],
+                batch_pad=max_batch)
+            info("hybrid: warmed AM bucket %d (batch %d) in %.1fs", b,
+                 max_batch, time.time() - t0)
+
+    def reload(self, model_file=None):
+        """Hot AM checkpoint reload (same contract as Recognizer.reload:
+        config and target count must match the serving ones)."""
+        import jax
+
+        from pytorch_kaldi_asr_tpu.models import am
+        from pytorch_kaldi_asr_tpu.train.checkpoint import (
+            load_checkpoint,
+            read_checkpoint_config,
+        )
+
+        path = model_file or self.model_file
+        cfg, meta = read_checkpoint_config(path)
+        if cfg != self.cfg or (meta.get("n_targets")
+                               != self.model_meta.get("n_targets")):
+            raise ValueError(
+                f"checkpoint config at {path!r} differs from the serving "
+                f"config; restart the server for architecture changes")
+        template = am.init_am(jax.random.PRNGKey(0), cfg,
+                              meta.get("n_targets"))
+        ck = load_checkpoint(path, template_params=template)
+        with self.lock:
+            self.params = ck["params"]
+            self.model_file = path
+            self.model_meta = dict(meta)
+        info("hybrid: reloaded checkpoint %s (epoch %s, step %s)", path,
+             meta.get("epoch"), meta.get("step"))
+        return dict(meta)
+
     def check_features(self, feats):
         return _check_features(feats, self.cfg.src_dim)
 
     def _bucket(self, t):
         return _pick_bucket(self.buckets, t)
 
-    def _posteriors(self, feats):
-        """Jitted + length-bucketed AM forward: one compiled program per
-        bucket (the compile-count discipline the attention path keeps)."""
-        b = self._bucket(feats.shape[0])
-        t = min(feats.shape[0], b)
-        src = np.zeros((1, b, self.cfg.src_dim), np.float32)
-        src[0, :t] = feats[:t]
-        mask = np.zeros((1, b), np.uint8)
-        mask[0, :t] = 1
-        logp = self._jit_fwd(self.params, src, mask)
-        out = np.asarray(logp[0, :t], np.float64)
-        if self.log_priors is not None:
-            out = out - self.log_priors
-        return out, t
+    def _posteriors_many(self, feats_list, batch_pad=None):
+        """ONE jitted + length-bucketed AM forward over several
+        utterances (padded rows masked out): one compiled program per
+        (batch, bucket) shape — the compile-count discipline the
+        attention path keeps.  Returns ([posteriors per utt], [frames])."""
+        n = len(feats_list)
+        bp = batch_pad or n
+        b = max(self._bucket(min(f.shape[0], self.cfg.encoder_max_len))
+                for f in feats_list)
+        src = np.zeros((bp, b, self.cfg.src_dim), np.float32)
+        mask = np.zeros((bp, b), np.uint8)
+        lens = []
+        for i, f in enumerate(feats_list):
+            t = min(f.shape[0], b)
+            src[i, :t] = f[:t]
+            mask[i, :t] = 1
+            lens.append(t)
+        with self.lock:
+            logp = np.asarray(self._jit_fwd(self.params, src, mask),
+                              np.float64)
+        outs = []
+        for i, t in enumerate(lens):
+            out = logp[i, :t]
+            if self.log_priors is not None:
+                out = out - self.log_priors
+            outs.append(out)
+        return outs, lens
 
-    def recognize(self, feats, nbest=1):
-        """([(text, score)], frames_decoded); score = NEGATED graph cost,
-        so higher is better — the same convention as the attention mode's
-        log-prob scores on every endpoint."""
+    def _graph_decode(self, posts, nbest):
+        """Host-side graph search over one utterance's posteriors."""
         from pytorch_kaldi_asr_tpu.decode.latgen import (
             latgen,
             latgen_lattice,
         )
         from pytorch_kaldi_asr_tpu.decode.lattice_ops import nbest as nb_op
 
-        feats = self.check_features(feats)
-        with self.lock:
-            posts, t = self._posteriors(feats)
-            if nbest > 1:
-                lat = latgen_lattice(self.graph, posts, beam=self.beam,
-                                     acoustic_scale=self.acoustic_scale,
-                                     max_active=self.max_active,
-                                     id2word=self.id2word)
-                if lat is None:
-                    return [], t
-                hyps = [(" ".join(w), -c) for w, c in nb_op(lat, nbest)]
-                return hyps, t
-            res = latgen(self.graph, posts, beam=self.beam,
-                         acoustic_scale=self.acoustic_scale,
-                         max_active=self.max_active)
-            if res is None:
-                return [], t
-            words, _phones, cost = res
-            text = " ".join(self.id2word.get(w, "<unk>") for w in words)
-            return [(text, -float(cost))], t
+        if nbest > 1:
+            lat = latgen_lattice(self.graph, posts, beam=self.beam,
+                                 acoustic_scale=self.acoustic_scale,
+                                 max_active=self.max_active,
+                                 id2word=self.id2word)
+            if lat is None:
+                return []
+            return [(" ".join(w), -c) for w, c in nb_op(lat, nbest)]
+        res = latgen(self.graph, posts, beam=self.beam,
+                     acoustic_scale=self.acoustic_scale,
+                     max_active=self.max_active)
+        if res is None:
+            return []
+        words, _phones, cost = res
+        text = " ".join(self.id2word.get(w, "<unk>") for w in words)
+        return [(text, -float(cost))]
+
+    def recognize_many(self, feats_list, nbest=1, batch_pad=None):
+        """Batched recognition (the MicroBatcher contract): the AM runs
+        once for the whole group; the graph searches run per utterance on
+        the host, outside the device lock."""
+        feats_list = [self.check_features(f) for f in feats_list]
+        posts_list, lens = self._posteriors_many(feats_list,
+                                                 batch_pad=batch_pad)
+        return [self._graph_decode(p, nbest) for p in posts_list], lens
+
+    def recognize(self, feats, nbest=1):
+        """([(text, score)], frames_decoded); score = NEGATED graph cost,
+        so higher is better — the same convention as the attention mode's
+        log-prob scores on every endpoint."""
+        outs, lens = self.recognize_many([feats], nbest=nbest)
+        return outs[0], lens[0]
 
     # -- streaming ---------------------------------------------------------
 
@@ -540,6 +639,9 @@ class SessionStore:
 class ServerStats:
     """Cheap request counters + latency aggregates for /healthz."""
 
+    #: fixed log-scale bucket upper edges (ms); the last bucket is open
+    HIST_EDGES = (5, 10, 20, 50, 100, 200, 500, 1000, 2000, 5000)
+
     def __init__(self):
         self._lock = threading.Lock()
         self.requests = 0
@@ -548,6 +650,8 @@ class ServerStats:
         self.decodes = 0
         self.inflight = 0
         self.started = time.time()
+        self.hist = [0] * (len(self.HIST_EDGES) + 1)
+        self.max_decode_ms = 0.0
 
     def enter(self):
         with self._lock:
@@ -576,18 +680,62 @@ class ServerStats:
             if decode_ms is not None:
                 self.decodes += 1
                 self.decode_ms_total += decode_ms
+                self.max_decode_ms = max(self.max_decode_ms, decode_ms)
+                i = 0
+                while (i < len(self.HIST_EDGES)
+                       and decode_ms > self.HIST_EDGES[i]):
+                    i += 1
+                self.hist[i] += 1
+
+    def _percentile(self, q):
+        """Latency percentile estimated from the histogram (linear
+        interpolation inside the containing bucket; the open last bucket
+        interpolates toward the max seen).  None with no samples."""
+        total = sum(self.hist)
+        if not total:
+            return None
+        target = q * total
+        seen = 0.0
+        for i, count in enumerate(self.hist):
+            if seen + count >= target and count:
+                lo = self.HIST_EDGES[i - 1] if i else 0.0
+                hi = (self.HIST_EDGES[i] if i < len(self.HIST_EDGES)
+                      else max(self.max_decode_ms, lo))
+                frac = (target - seen) / count
+                # an estimate must not exceed the largest sample seen
+                return min(lo + frac * (hi - lo), self.max_decode_ms)
+            seen += count
+        return self.max_decode_ms
 
     def summary(self):
         with self._lock:
             avg = (self.decode_ms_total / self.decodes
                    if self.decodes else None)
-            return {
+            out = {
                 "requests": self.requests,
                 "errors": self.errors,
                 "decodes": self.decodes,
                 "avg_decode_ms": round(avg, 1) if avg is not None else None,
                 "uptime_s": round(time.time() - self.started, 1),
             }
+            if self.decodes:
+                out["max_decode_ms"] = round(self.max_decode_ms, 1)
+                for name, q in (("p50_ms", 0.5), ("p95_ms", 0.95),
+                                ("p99_ms", 0.99)):
+                    p = self._percentile(q)
+                    out[name] = round(p, 1) if p is not None else None
+                # {"<=5": n, ..., "<=5000": n, ">5000": n}, zero buckets
+                # skipped so small servers stay readable
+                hist = {}
+                for i, count in enumerate(self.hist):
+                    if not count:
+                        continue
+                    key = (f"<={self.HIST_EDGES[i]}"
+                           if i < len(self.HIST_EDGES)
+                           else f">{self.HIST_EDGES[-1]}")
+                    hist[key] = count
+                out["latency_hist_ms"] = hist
+            return out
 
 
 def make_handler(recognizer, sessions=None, stats=None):
@@ -627,6 +775,7 @@ def make_handler(recognizer, sessions=None, stats=None):
                              else "attention"),
                     "encoder_type": recognizer.cfg.encoder_type,
                     "src_dim": recognizer.cfg.src_dim,
+                    "model_file": recognizer.model_file,
                 }
                 out["buckets"] = list(recognizer.buckets)
                 if hasattr(recognizer, "new_stream"):  # hybrid
@@ -651,6 +800,8 @@ def make_handler(recognizer, sessions=None, stats=None):
             try:
                 if self.path == "/recognize":
                     code, out, verdict = self._recognize()
+                elif self.path == "/reload":
+                    code, out, verdict = self._reload()
                 elif self.path == "/stream/start":
                     code, out, verdict = 200, {"id": sessions.start()}, "ok"
                 elif self.path.startswith("/stream/"):
@@ -685,6 +836,22 @@ def make_handler(recognizer, sessions=None, stats=None):
             if decoded < np.asarray(feats).shape[0]:
                 out["truncated"] = True  # input exceeded the largest bucket
             return 200, out, "decode"
+
+        def _reload(self):
+            """Hot checkpoint reload: body optionally names a new model
+            path ``{"model_file": ...}``; default re-reads the serving
+            one (the fine-tune-in-place redeploy).  A config mismatch is
+            a 400 and the old weights keep serving."""
+            body = self._read_body()
+            payload = json.loads(body.decode("utf-8")) if body else {}
+            try:
+                meta = recognizer.reload(payload.get("model_file"))
+            except (ValueError, OSError) as e:
+                return 400, {"error": str(e)[:500]}, None
+            return 200, {"status": "reloaded",
+                         "model_file": recognizer.model_file,
+                         "epoch": meta.get("epoch"),
+                         "step": meta.get("step")}, "ok"
 
         def _stream(self):
             """Returns (code, payload, verdict): verdict "decode" for
@@ -852,7 +1019,8 @@ def main(argv=None):
     parser.add_argument("-max_batch", type=int, default=1,
                         help=">1 coalesces concurrent requests into one "
                              "batched search of this static size "
-                             "(attention mode)")
+                             "(both modes; in hybrid mode the AM forward "
+                             "batches, the graph searches stay per-utt)")
     parser.add_argument("-batch_window_ms", type=float, default=5.0)
     parser.add_argument("-no_warmup", action="store_true")
     opt = parser.parse_args(argv)
@@ -871,9 +1039,9 @@ def main(argv=None):
                          beam_size=opt.beam_size,
                          max_token_seq_len=opt.max_token_seq_len,
                          buckets=buckets)
-        if opt.max_batch > 1:
-            rec = MicroBatcher(rec, max_batch=opt.max_batch,
-                               window_ms=opt.batch_window_ms)
+    if opt.max_batch > 1:
+        rec = MicroBatcher(rec, max_batch=opt.max_batch,
+                           window_ms=opt.batch_window_ms)
     if not opt.no_warmup:
         rec.warmup()
     serve(rec, opt.port, host=opt.host)

@@ -424,3 +424,160 @@ def test_hybrid_score_convention_and_empty_finish(hybrid_setup):
         assert empty == {"nbest": [], "frames": 0}
     finally:
         httpd.shutdown()
+
+
+def test_server_stats_histogram_and_percentiles():
+    """The /healthz latency histogram: bucket placement, percentile
+    interpolation, and the cap at the largest observed sample."""
+    st = serve_mod.ServerStats()
+    assert st.summary().get("p50_ms") is None  # no samples -> no fields
+
+    for ms in (3.0, 7.0, 15.0, 40.0, 40.0, 90.0, 150.0, 400.0, 900.0, 7000.0):
+        st.record(decode_ms=ms)
+    s = st.summary()
+    assert s["decodes"] == 10
+    assert s["max_decode_ms"] == 7000.0
+    hist = s["latency_hist_ms"]
+    assert hist["<=5"] == 1 and hist["<=10"] == 1
+    assert hist["<=20"] == 1 and hist["<=50"] == 2
+    assert hist[">5000"] == 1
+    assert sum(hist.values()) == 10
+    # percentiles are monotone, within range, and capped at the max seen
+    assert 0 < s["p50_ms"] <= s["p95_ms"] <= s["p99_ms"] <= 7000.0
+    assert s["p50_ms"] <= 100.0  # median of the sample set is <=90ms
+
+    # one sample at 42ms: percentiles interpolate inside its (20,50]
+    # bucket but never exceed the largest sample seen (cap rule)
+    st2 = serve_mod.ServerStats()
+    st2.record(decode_ms=42.0)
+    s2 = st2.summary()
+    assert 20.0 < s2["p50_ms"] <= s2["p99_ms"] <= 42.0
+
+
+def test_reload_hot_swap_and_config_mismatch(model_dir):
+    """Recognizer.reload swaps weights in place; a config-mismatched
+    checkpoint is rejected and the old weights keep serving."""
+    tmp, cfg = model_dir
+    # a second checkpoint: same config, different weights, later epoch
+    params2 = init_transformer(jax.random.PRNGKey(1), cfg)
+    save_checkpoint(str(tmp / "model2"), params2, cfg, epoch=7, step=123)
+    # and a config-mismatched one
+    cfg_bad = small_cfg(en_d_model=16)
+    save_checkpoint(str(tmp / "model_bad"),
+                    init_transformer(jax.random.PRNGKey(2), cfg_bad),
+                    cfg_bad, epoch=1)
+
+    rec = serve_mod.Recognizer(str(tmp / "model"), str(tmp / "vocab.txt"),
+                               beam_size=2, buckets=(8,))
+    rng = np.random.default_rng(12)
+    feats = rng.normal(size=(6, cfg.src_dim)).astype(np.float32)
+    before = rec.recognize(feats)
+
+    meta = rec.reload(str(tmp / "model2"))
+    assert meta["epoch"] == 7 and meta["step"] == 123
+    assert rec.model_file == str(tmp / "model2")
+    after = rec.recognize(feats)  # same compiled program, new weights
+    assert after[1] == before[1]  # frames unchanged
+    leaf_old = jax.tree_util.tree_leaves(
+        serve_mod.Recognizer(str(tmp / "model"), str(tmp / "vocab.txt"),
+                             beam_size=2, buckets=(8,)).params)[0]
+    leaf_new = jax.tree_util.tree_leaves(rec.params)[0]
+    assert not np.allclose(np.asarray(leaf_old), np.asarray(leaf_new))
+
+    with pytest.raises(ValueError, match="differs from the serving"):
+        rec.reload(str(tmp / "model_bad"))
+    # old (reloaded) weights keep serving after the rejected swap
+    assert rec.model_file == str(tmp / "model2")
+    assert rec.recognize(feats)[1] == 6
+
+
+def test_http_reload_endpoint(model_dir):
+    """POST /reload over a live server: success updates healthz's
+    model_file; a mismatched checkpoint is a 400 and serving continues."""
+    from http.server import ThreadingHTTPServer
+
+    tmp, cfg = model_dir
+    rec = serve_mod.Recognizer(str(tmp / "model"), str(tmp / "vocab.txt"),
+                               beam_size=2, buckets=(8,))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                serve_mod.make_handler(rec))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, obj=None):
+        data = json.dumps(obj).encode() if obj is not None else b""
+        req = urllib.request.Request(
+            base + path, data=data,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return json.loads(r.read())
+
+    try:
+        # reuses the model2/model_bad checkpoints written by the
+        # reload test (module-scoped tmp dir); (re)write to be order-safe
+        params2 = init_transformer(jax.random.PRNGKey(1), cfg)
+        save_checkpoint(str(tmp / "model2"), params2, cfg, epoch=7, step=9)
+        cfg_bad = small_cfg(en_d_model=16)
+        save_checkpoint(str(tmp / "model_bad"),
+                        init_transformer(jax.random.PRNGKey(2), cfg_bad),
+                        cfg_bad, epoch=1)
+
+        out = post("/reload", {"model_file": str(tmp / "model2")})
+        assert out["status"] == "reloaded" and out["epoch"] == 7
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["model_file"] == str(tmp / "model2")
+
+        bad = urllib.request.Request(
+            base + "/reload",
+            data=json.dumps({"model_file": str(tmp / "model_bad")}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad, timeout=30)
+        assert e.value.code == 400
+        # server still decodes after the rejected reload
+        feats = np.random.default_rng(13).normal(
+            size=(5, cfg.src_dim)).tolist()
+        out = post("/recognize", {"features": feats})
+        assert out["frames"] == 5 and out["nbest"]
+    finally:
+        httpd.shutdown()
+
+
+def test_hybrid_recognize_many_matches_singles(hybrid_setup):
+    """Hybrid micro-batch contract: one batched AM forward + per-utt
+    graph searches gives each utterance its solo result."""
+    tmp, cfg, phones, lexicon = hybrid_setup
+    rec = serve_mod.HybridRecognizer(str(tmp / "am"), str(tmp / "graph"),
+                                     beam=1e9, buckets=(32,))
+    rng = np.random.default_rng(14)
+    feats = [rng.normal(size=(t, cfg.src_dim)).astype(np.float32)
+             for t in (12, 20, 16)]
+    singles = [rec.recognize(f, nbest=2) for f in feats]
+    batched, lens = rec.recognize_many(feats, nbest=2, batch_pad=4)
+    assert lens == [s[1] for s in singles]
+    for (s_hyps, _), b_hyps in zip(singles, batched):
+        assert [t for t, _ in b_hyps] == [t for t, _ in s_hyps]
+
+
+def test_hybrid_reload(hybrid_setup):
+    """Hybrid hot reload: same-config swap succeeds, target-count or
+    config mismatch is rejected."""
+    from pytorch_kaldi_asr_tpu.models.am import init_am
+    from pytorch_kaldi_asr_tpu.train.checkpoint import save_checkpoint as _save
+
+    tmp, cfg, phones, lexicon = hybrid_setup
+    rec = serve_mod.HybridRecognizer(str(tmp / "am"), str(tmp / "graph"),
+                                     beam=1e9, buckets=(32,))
+    params2 = init_am(jax.random.PRNGKey(5), cfg, n_targets=len(phones))
+    _save(str(tmp / "am2"), params2, cfg, epoch=3,
+          extra={"n_targets": len(phones), "model_kind": "am"})
+    meta = rec.reload(str(tmp / "am2"))
+    assert meta["epoch"] == 3
+    assert rec.model_file == str(tmp / "am2")
+
+    _save(str(tmp / "am_bad"), init_am(jax.random.PRNGKey(6), cfg, 2),
+          cfg, epoch=1, extra={"n_targets": 2, "model_kind": "am"})
+    with pytest.raises(ValueError):
+        rec.reload(str(tmp / "am_bad"))
