@@ -2,7 +2,8 @@
 grid schedulers (kaldi/queue.pl, utils/run.pl, slurm.pl, pbs.pl, ssh.pl —
 SURVEY.md §2b/§5.8), preserving their uniform CLI contract::
 
-    launch [--max-jobs N] [--hosts FILE] [JOB=1:N] <log-file> <command...>
+    launch [--max-jobs N] [--retries N] [--resubmit N] [--hosts FILE]
+           [JOB=1:N] <log-file> <command...>
 
 - ``JOB=1:N`` expands into N jobs with ``JOB`` substituted in the log path
   and arguments (run.pl's array-job contract);
@@ -10,7 +11,10 @@ SURVEY.md §2b/§5.8), preserving their uniform CLI contract::
   ``# command / # Started / # Ended (code N) / # Accounting`` lines the Kaldi
   log-triage tooling greps for;
 - failure of any array element fails the launcher with a run.pl-style
-  message;
+  message; ``--retries N`` re-runs failed jobs, and ``--resubmit N``
+  separately re-runs jobs that exit PREEMPT_EXIT_CODE (preemptible-pool
+  training: the job checkpointed on SIGTERM and asked to continue — pair
+  with the trainer's ``-resume`` flag);
 - ``--hosts FILE`` (one hostname per line, the .queue/machines shape)
   round-robins array jobs over machines via ssh with the working directory
   preserved and logs collected locally — the ssh.pl role
@@ -33,6 +37,13 @@ import shlex
 import subprocess
 import sys
 import time
+
+#: exit code meaning "preempted mid-run after checkpointing — resubmit me"
+#: (EX_TEMPFAIL).  recipes/train.py exits with this when the preemption
+#: signal fires; ``--resubmit N`` re-runs such jobs, which resume from the
+#: ``preempt`` checkpoint via their ``-resume`` flag.  The queue.pl analogue
+#: is the exit-137 -> 100 requeue remap (reference kaldi/queue.pl:388-389).
+PREEMPT_EXIT_CODE = 75
 
 
 def _expand(template, job):
@@ -76,14 +87,27 @@ def run_job(log_file, command, job=None, host=None):
     return proc.returncode
 
 
-def run_job_with_retries(log_file, command, job=None, retries=0, host=None):
+def run_job_with_retries(log_file, command, job=None, retries=0, host=None,
+                         resubmits=0):
     """run_job plus requeue-on-failure (role of queue.pl's remap of
     OOM-killed jobs into the re-runnable state, reference kaldi/queue.pl
-    exit-137 handling)."""
+    exit-137 handling).
+
+    ``retries`` re-runs plain failures; ``resubmits`` separately re-runs
+    jobs that exit PREEMPT_EXIT_CODE (preemptible-pool support: the job
+    checkpointed and asked to be resubmitted — not a failure, so it does
+    not consume a retry)."""
     code = run_job(log_file, command, job, host=host)
-    attempt = 0
-    while code != 0 and attempt < retries:
-        attempt += 1
+    attempt = resub = 0
+    while code != 0:
+        if code == PREEMPT_EXIT_CODE:
+            if resub >= resubmits:
+                break
+            resub += 1
+        else:
+            if attempt >= retries:
+                break
+            attempt += 1
         code = run_job(log_file, command, job, host=host)
     return code
 
@@ -106,6 +130,7 @@ def launch(argv):
     argv = list(argv)
     max_jobs = 0
     retries = 0
+    resubmits = 0
     hosts = None
     backend = None
     queue_name = None
@@ -116,6 +141,9 @@ def launch(argv):
             max_jobs = int(opt.split("=", 1)[1] if "=" in opt else argv.pop(0))
         elif opt.startswith("--retries"):
             retries = int(opt.split("=", 1)[1] if "=" in opt else argv.pop(0))
+        elif opt.startswith("--resubmit"):
+            resubmits = int(
+                opt.split("=", 1)[1] if "=" in opt else argv.pop(0))
         elif opt.startswith("--hosts"):
             hosts = read_hosts(
                 opt.split("=", 1)[1] if "=" in opt else argv.pop(0))
@@ -149,11 +177,11 @@ def launch(argv):
         if hosts:
             raise SystemExit("--hosts and --backend are mutually exclusive "
                              "(the scheduler owns machine placement)")
-        if retries:
-            raise SystemExit("--retries is not supported with --backend: "
-                             "requeueing is the scheduler's job (the wrapper "
-                             "already remaps OOM exit 137 to the re-runnable "
-                             "code 100)")
+        if retries or resubmits:
+            raise SystemExit("--retries/--resubmit are not supported with "
+                             "--backend: requeueing is the scheduler's job "
+                             "(the wrapper already remaps OOM exit 137 to "
+                             "the re-runnable code 100)")
         jobs = list(job_range) if job_range is not None else [1]
         failed = batch.submit_and_wait(
             backend, log_file, command, jobs,
@@ -170,7 +198,8 @@ def launch(argv):
 
     if job_range is None:
         code = run_job_with_retries(log_file, command, retries=retries,
-                                    host=hosts[0] if hosts else None)
+                                    host=hosts[0] if hosts else None,
+                                    resubmits=resubmits)
         if code != 0:
             print(f"launch: job failed (code {code}), log is in {log_file}",
                   file=sys.stderr)
@@ -185,7 +214,8 @@ def launch(argv):
         futures = {
             pool.submit(run_job_with_retries, log_file, command, job,
                         retries,
-                        hosts[i % len(hosts)] if hosts else None): job
+                        hosts[i % len(hosts)] if hosts else None,
+                        resubmits): job
             for i, job in enumerate(jobs)
         }
         for fut in concurrent.futures.as_completed(futures):

@@ -72,7 +72,7 @@ def main(argv=None):
     info("batch loader is initialized")
 
     procedure("trainning start...")
-    _best, best_epoch, _accu = train_model(
+    result = train_model(
         params, cfg, train_loader, dev_loader, test_loader,
         opt.save_model_dir,
         epochs=opt.epoch,
@@ -83,11 +83,19 @@ def main(argv=None):
         resume=opt.resume,
         metrics_path=os.path.join(opt.save_model_dir, "metrics.jsonl"),
     )
+    if result.preempted:
+        # checkpointed mid-run; ask the launcher to resubmit us (pair
+        # with -resume so the rerun continues from the preempt snapshot)
+        from pytorch_kaldi_asr_tpu.parallel.launch import PREEMPT_EXIT_CODE
 
-    procedure("combining start on best epoch %d" % best_epoch)
+        procedure("preempted: exiting %d for launcher resubmission"
+                  % PREEMPT_EXIT_CODE)
+        return PREEMPT_EXIT_CODE
+
+    procedure("combining start on best epoch %d" % result.best_epoch)
     num_model = 30 if opt.epoch > 30 else opt.epoch
-    combine_checkpoints(opt.save_model_dir, best_epoch, cfg, dev_loader,
-                        num_model=num_model)
+    combine_checkpoints(opt.save_model_dir, result.best_epoch, cfg,
+                        dev_loader, num_model=num_model)
     return 0
 
 

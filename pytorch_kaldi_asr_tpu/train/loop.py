@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import time
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -115,6 +116,18 @@ def latest_epoch_checkpoint(save_model_dir):
     return best
 
 
+class TrainResult(NamedTuple):
+    """What train_model hands back.  ``preempted`` means the run stopped
+    on the preemption signal after saving the ``preempt`` checkpoint —
+    the caller should skip post-training work and exit with the
+    launcher's resubmit code (parallel/launch.py PREEMPT_EXIT_CODE)."""
+
+    best_params: Any
+    best_epoch: int
+    best_accu: float
+    preempted: bool
+
+
 def train_model(
     params,
     cfg,
@@ -136,7 +149,8 @@ def train_model(
     metrics_path=None,
     preempt_signal="SIGTERM",
 ):
-    """Full training driver; returns (best_params, best_epoch, best_accu).
+    """Full training driver; returns a ``TrainResult`` (best_params,
+    best_epoch, best_accu, preempted).
 
     ``resume=True`` continues from the newest epoch.N checkpoint (params,
     optimizer state, and step all restored — unlike the reference, where
@@ -345,7 +359,8 @@ def train_model(
     info("best model is saved to %s", best_path)
     if metrics is not None:
         metrics.close()
-    return best_params, best_epoch, best_accu
+    return TrainResult(best_params, best_epoch, best_accu,
+                       preempted["flag"])
 
 
 def combine_checkpoints(save_model_dir, best_epoch=None, cfg=None,

@@ -20,6 +20,10 @@ speed_perturb=${speed_perturb:-}
 lang=data/language
 cmvn=${cmvn:-false}
 clean_dir=${clean_dir:-true}
+# preemptible-pool training: >0 lets the launcher resubmit a SIGTERM'd
+# training job that many times; the trainer resumes from its preempt
+# checkpoint (-resume is implied)
+preempt_resubmits=${preempt_resubmits:-0}
 # scaled-down knobs for smoke runs (export before calling)
 epochs=${epochs:-500}
 batch_size=${batch_size:-100}
@@ -121,7 +125,14 @@ fi
 
 if [ $stage -le 4 ]; then
     echo '[PROCEDURE] trainning start... log is in train.log'
-    $cuda_cmd ${model_dir}/train.log python3 -u -m pytorch_kaldi_asr_tpu.recipes.train \
+    train_launch_opts=
+    train_resume_opt=
+    if [ "$preempt_resubmits" -gt 0 ]; then
+        train_launch_opts="--resubmit $preempt_resubmits"
+        train_resume_opt="-resume"
+    fi
+    $cuda_cmd $train_launch_opts ${model_dir}/train.log python3 -u -m pytorch_kaldi_asr_tpu.recipes.train \
+        $train_resume_opt \
         -read_train_dir data/train${speed_perturb}${data_perfix}_filtered \
         -read_dev_dir data/dev${data_perfix}_filtered \
         -read_test_dir data/test${data_perfix}_filtered \

@@ -196,7 +196,7 @@ def test_resume_past_final_epoch_uses_resumed_checkpoint(tmp_path):
     train_model(params, cfg, loader, ev, ev, out, epochs=2, save_interval=1,
                 start_lr=0.01)
     trained = load_checkpoint(os.path.join(out, "epoch.2"))["params"]
-    best_params, best_epoch, _ = train_model(
+    best_params, best_epoch, _, _ = train_model(
         params, cfg, loader, ev, ev, out, epochs=2, save_interval=1,
         start_lr=0.01, resume=True,
     )
@@ -262,7 +262,7 @@ def test_resume_restores_precrash_best(tmp_path):
     meta["dev_accu"] = 2.0  # unbeatable (accuracy <= 1)
     with open(meta_path, "w") as f:
         _json.dump(meta, f)
-    _best, best_epoch, best_accu = train_model(
+    _best, best_epoch, best_accu, _ = train_model(
         params, cfg, loader, eval_loader, eval_loader, out,
         epochs=3, save_interval=1, start_lr=0.01, resume=True)
     assert best_epoch == 1
@@ -290,7 +290,7 @@ def test_combine_includes_best_checkpoint_with_sparse_saves(tmp_path):
     loader = BatchLoader(triples, batch_size=4, mode="drop")
     eval_loader = BatchLoader(triples, batch_size=4, mode="all")
     out = str(tmp_path / "exp")
-    _best, best_epoch, _accu = train_model(
+    _best, best_epoch, _accu, _ = train_model(
         params, cfg, loader, eval_loader, eval_loader, out,
         epochs=9, save_interval=4, start_lr=0.01)
     # epoch dirs: 4 and 5 (final window).  Force a best epoch with no dir:

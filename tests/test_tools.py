@@ -411,3 +411,59 @@ def test_make_timit_shaped_structure(tmp_path):
         m = next(iter(feats.values()))
         assert m.shape[1] == 8 and m.shape[0] > 10
         assert dd.validate_data_dir(str(d)) == []
+
+
+def test_launcher_resubmits_on_preempt_code(tmp_path):
+    """A job exiting PREEMPT_EXIT_CODE (checkpointed + asked to continue)
+    is re-run up to --resubmit times; each run sees the state left by the
+    previous one (the -resume contract)."""
+    from pytorch_kaldi_asr_tpu.parallel.launch import PREEMPT_EXIT_CODE
+
+    counter = tmp_path / "runs"
+    # exit 75 on the first two runs, 0 on the third
+    script = (f"echo x >> {counter}; "
+              f"if [ $(wc -l < {counter}) -lt 3 ]; "
+              f"then exit {PREEMPT_EXIT_CODE}; fi")
+    log = tmp_path / "log.txt"
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytorch_kaldi_asr_tpu.parallel.launch",
+         "--resubmit", "2", str(log), "bash", "-c", script],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert counter.read_text().count("x") == 3
+
+    # without --resubmit the preempt code propagates as-is (single job)
+    counter.unlink()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytorch_kaldi_asr_tpu.parallel.launch",
+         str(log), "bash", "-c", script],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == PREEMPT_EXIT_CODE
+    assert counter.read_text().count("x") == 1
+
+
+def test_launcher_resubmit_budget_separate_from_retries(tmp_path):
+    """Plain failures consume --retries, not the --resubmit budget, and a
+    run that keeps getting preempted past the budget fails."""
+    from pytorch_kaldi_asr_tpu.parallel.launch import run_job_with_retries
+
+    counter = tmp_path / "n"
+    log = str(tmp_path / "l.txt")
+    # always plain-fails: resubmits must not rescue it
+    code = run_job_with_retries(
+        log, ["bash", "-c", f"echo x >> {counter}; exit 3"],
+        retries=0, resubmits=5)
+    assert code == 3
+    assert counter.read_text().count("x") == 1
+
+    # always preempted: stops after the resubmit budget
+    counter.unlink()
+    from pytorch_kaldi_asr_tpu.parallel.launch import PREEMPT_EXIT_CODE
+
+    code = run_job_with_retries(
+        log, ["bash", "-c", f"echo x >> {counter}; exit {PREEMPT_EXIT_CODE}"],
+        retries=9, resubmits=2)
+    assert code == PREEMPT_EXIT_CODE
+    assert counter.read_text().count("x") == 3  # 1 + 2 resubmits

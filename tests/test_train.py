@@ -185,9 +185,59 @@ def test_preemption_checkpoint_and_resume(tmp_path):
     # resume: prefers the preempt snapshot and completes a short run
     # (fresh init tree — the first run's jitted step donated the old one)
     params2 = init_transformer(jax.random.PRNGKey(3), cfg)
-    best_params, best_epoch, best_accu = train_model(
+    best_params, best_epoch, best_accu, _ = train_model(
         params2, cfg, train_loader, dev_loader, test_loader, mdir,
         epochs=interrupted + 1, save_interval=1, resume=True,
         preempt_signal=None)
     assert best_epoch >= interrupted
     assert best_accu >= 0
+
+
+def test_train_result_preempted_flag(tmp_path):
+    """train_model reports preempted=False on a normal run (the CLI keys
+    its exit code and the combine stage off this flag)."""
+    from pytorch_kaldi_asr_tpu.data.loader import BatchLoader
+    from pytorch_kaldi_asr_tpu.models.transformer import init_transformer
+    from pytorch_kaldi_asr_tpu.train.loop import train_model
+    from tests.test_models import small_cfg
+
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(5)
+    triples = [
+        (f"u{i}", rng.normal(size=(8, cfg.src_dim)).astype(np.float32),
+         np.array([2, 4, 5, 3]))
+        for i in range(4)
+    ]
+    loader = BatchLoader(triples, batch_size=4, mode="drop")
+    ev = BatchLoader(triples, batch_size=4, mode="all")
+    res = train_model(params, cfg, loader, ev, ev, str(tmp_path / "exp"),
+                      epochs=1, save_interval=1, preempt_signal=None)
+    assert res.preempted is False
+
+
+def test_train_cli_exits_preempt_code(monkeypatch, tmp_path):
+    """recipes/train.py: a preempted training run exits with the
+    launcher's PREEMPT_EXIT_CODE and skips the combine stage."""
+    from pytorch_kaldi_asr_tpu.parallel.launch import PREEMPT_EXIT_CODE
+    from pytorch_kaldi_asr_tpu.recipes import train as train_cli
+    from pytorch_kaldi_asr_tpu.train.loop import TrainResult
+
+    combined = {"called": False}
+    monkeypatch.setattr(train_cli, "load_checkpoint",
+                        lambda p: {"params": {}, "cfg": None})
+    monkeypatch.setattr(train_cli, "read_vocab", lambda p: {})
+    monkeypatch.setattr(train_cli, "make_batch_loader",
+                        lambda *a, **k: None)
+    monkeypatch.setattr(
+        train_cli, "train_model",
+        lambda *a, **k: TrainResult({}, 0, 0.0, True))
+    monkeypatch.setattr(
+        train_cli, "combine_checkpoints",
+        lambda *a, **k: combined.__setitem__("called", True))
+    rc = train_cli.main([
+        "-read_train_dir", "x", "-read_dev_dir", "x", "-read_test_dir", "x",
+        "-read_vocab_file", "x", "-load_model_file", "x",
+        "-save_model_dir", str(tmp_path)])
+    assert rc == PREEMPT_EXIT_CODE
+    assert combined["called"] is False
