@@ -28,6 +28,16 @@ Provided:
   DIFFERENTIABLE (ppermute has a transpose rule), gradient-pinned equal
   to single-device — SP training works on the dropout-free path.
 - :func:`sp_encode` — dispatch by ``cfg.encoder_type``.
+
+TRAINING with dropout: pass ``train=True, rng=key``.  Each shard folds
+the mesh position into the key (:func:`per_shard_rng`) and draws an
+independent dropout stream at the same sites as the single-device
+encoders (models/encoders.py banded_encode / conformer_encode) — input,
+attention-prob, post-proj, FFN, and conv-module dropout.  Masks are
+applied to a shard's OWN frames before halos are exchanged, so neighbor
+shards read post-dropout activations exactly as a single device would;
+with ``rng=None`` (or ``train=False``) the path is bit-identical to the
+dropout-free forward.
 """
 
 from __future__ import annotations
@@ -39,10 +49,21 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pytorch_kaldi_asr_tpu.models.common import (
+    dropout,
     layer_norm,
     position_encoding_table,
 )
 from pytorch_kaldi_asr_tpu.models.transformer import _Rngs, feed_forward
+
+
+def per_shard_rng(rng, axis_name):
+    """Fold the shard's mesh position into ``rng`` so every time shard
+    draws an INDEPENDENT dropout stream (identical keys would apply the
+    same mask to every shard's frames — correlated dropout the
+    single-device model never sees).  None passes through (no dropout)."""
+    if rng is None:
+        return None
+    return jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
 
 
 def make_seq_mesh(seq=None, devices=None):
@@ -80,15 +101,22 @@ def _cat_with_halos(x, left, right):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
-def sp_banded_attention(p, x, valid, cfg, axis_name, *, conformer=False):
+def sp_banded_attention(p, x, valid, cfg, axis_name, *, conformer=False,
+                        rate=0.0, rngs=None, train=False):
     """One banded self-attention block on a time shard (post-LN residual).
     ``valid`` is the local [B, S_local] frame mask.  ``conformer=True``
     mirrors _conformer_mhsa's dtype contract: q/k/v/proj computed in
     cfg.compute_dtype, the residual stream kept in
-    cfg.conformer_stream_dtype."""
+    cfg.conformer_stream_dtype.  ``rngs`` (an ``_Rngs`` built from a
+    per-shard key) enables attention-prob + post-proj dropout at the same
+    sites as the single-device blocked path (encoders._conformer_mhsa /
+    transformer.multi_head_attention)."""
     from pytorch_kaldi_asr_tpu.ops.banded_attention import (
         banded_attention_blocked,
     )
+
+    if rngs is None:
+        rngs = _Rngs(None)
 
     start, end = cfg.encoder_sub_sequence
     halo_l, halo_r = max(0, -start), max(0, end)
@@ -127,10 +155,12 @@ def sp_banded_attention(p, x, valid, cfg, axis_name, *, conformer=False):
     out = banded_attention_blocked(
         qs, ks, vs, key_valid, start=start, end=end,
         scale=1.0 / float(d_model) ** 0.5, block_q=block_q,
+        dropout_rate=rate if train else 0.0, rng=rngs.next(),
     )
     out = out.reshape(b, h, pad_to, -1)[:, :, halo_l:halo_l + sl]
     out = out.transpose(0, 2, 1, 3).reshape(b, sl, -1)
     out = out @ p["proj"]["w"].astype(cdt) + p["proj"]["b"].astype(cdt)
+    out = dropout(out, rate, rngs.next(), train)
     out = out + x
     if conformer:
         out = out.astype(cfg.conformer_stream_dtype)
@@ -138,10 +168,11 @@ def sp_banded_attention(p, x, valid, cfg, axis_name, *, conformer=False):
                       skip_len1=cfg.ln_skip_len1)
 
 
-def _sp_encode_local(params, cfg, src, mask, *, axis_name):
-    """Per-shard banded encoder forward (inference; banded_encode
-    semantics: src_proj → +pos (global index, clipped) → [attention, ffn]
-    stack → +pos)."""
+def _sp_encode_local(params, cfg, src, mask, *, axis_name, train=False,
+                     rng=None):
+    """Per-shard banded encoder forward (banded_encode semantics:
+    src_proj → +pos (global index, clipped) → [attention, ffn] stack →
+    +pos, with the same dropout sites when training)."""
     sl = src.shape[1]
     shard = jax.lax.axis_index(axis_name)
     table = position_encoding_table(cfg.encoder_max_len, cfg.en_d_model)
@@ -152,11 +183,15 @@ def _sp_encode_local(params, cfg, src, mask, *, axis_name):
         cfg.compute_dtype)
     x = x.astype(jnp.float32) + pos[None]
 
-    rngs = _Rngs(None)
+    rate = cfg.en_dropout if train else 0.0
+    rngs = _Rngs(per_shard_rng(rng, axis_name))
+    x = dropout(x, rate, rngs.next(), train)
     for layer in params["layers"]:
-        x = sp_banded_attention(layer["slf"], x, mask, cfg, axis_name)
-        x = feed_forward(layer["ffn"], x, cfg, 0.0, rngs, False)
+        x = sp_banded_attention(layer["slf"], x, mask, cfg, axis_name,
+                                rate=rate, rngs=rngs, train=train)
+        x = feed_forward(layer["ffn"], x, cfg, rate, rngs, train)
     x = x + pos[None]  # trans_pos_enc applied post-stack (Models.py:119)
+    x = dropout(x, rate, rngs.next(), train)
     return x
 
 
@@ -185,17 +220,20 @@ def _sp_shard(body, mesh, seq_axis, src, mask):
     return fn(src, mask)
 
 
-def sp_banded_encode(params, cfg, src, mask, mesh, *, seq_axis="seq"):
+def sp_banded_encode(params, cfg, src, mask, mesh, *, seq_axis="seq",
+                     train=False, rng=None):
     """Banded encoder forward with the TIME axis sharded over ``mesh``.
 
     ``src`` [B, S, D] and ``mask`` [B, S] with S divisible by the mesh's
     ``seq_axis`` size.  Returns the [B, S, d_model] encoder output (same
     sharding).  Differentiable end to end (gradients pinned equal to the
-    single-device forward); the standard training path still shards
-    batch/model axes instead (parallel/mesh.py) since recipe utterances
-    fit on one chip."""
+    single-device forward); ``train=True, rng=key`` adds dropout with an
+    independent per-shard stream (:func:`per_shard_rng`).  The standard
+    recipe training path still shards batch/model axes instead
+    (parallel/mesh.py) since recipe utterances fit on one chip."""
     return _sp_shard(partial(_sp_encode_local, params, cfg,
-                             axis_name=seq_axis), mesh, seq_axis, src, mask)
+                             axis_name=seq_axis, train=train, rng=rng),
+                     mesh, seq_axis, src, mask)
 
 
 # ---------------------------------------------------------------------------
@@ -203,11 +241,14 @@ def sp_banded_encode(params, cfg, src, mask, mesh, *, seq_axis="seq"):
 # ---------------------------------------------------------------------------
 
 
-def _sp_conv_module(p, x, valid, cfg, axis_name):
+def _sp_conv_module(p, x, valid, cfg, axis_name, rate=0.0, rngs=None,
+                    train=False):
     """Conformer conv module on a time shard: everything is position-local
     except the depthwise conv, whose reach is (kernel-1)//2 frames each
     way — exchanged as halos on the GLU output (models/encoders.py
-    _conv_module semantics, inference)."""
+    _conv_module semantics)."""
+    if rngs is None:
+        rngs = _Rngs(None)
     dtype = cfg.compute_dtype
     h = layer_norm(x, p["ln"]["gamma"], p["ln"]["beta"], skip_len1=False)
     h = h.astype(dtype) @ p["pw1"]["w"].astype(dtype) + p["pw1"]["b"].astype(
@@ -241,19 +282,27 @@ def _sp_conv_module(p, x, valid, cfg, axis_name):
     out = jax.nn.swish(out)
     out = out.astype(dtype) @ p["pw2"]["w"].astype(dtype) + p["pw2"][
         "b"].astype(dtype)
-    return x + out.astype(cfg.conformer_stream_dtype)
+    out = dropout(out.astype(cfg.conformer_stream_dtype), rate, rngs.next(),
+                  train)
+    return x + out
 
 
-def _sp_half_ffn(p, x, cfg):
+def _sp_half_ffn(p, x, cfg, rate=0.0, rngs=None, train=False):
+    if rngs is None:
+        rngs = _Rngs(None)
     h = layer_norm(x, p["ln"]["gamma"], p["ln"]["beta"], skip_len1=False)
     dtype = cfg.compute_dtype
     h = jax.nn.swish(h.astype(dtype) @ p["w1"]["w"].astype(dtype)
                      + p["w1"]["b"].astype(dtype))
+    h = dropout(h, rate, rngs.next(), train)
     h = h @ p["w2"]["w"].astype(dtype) + p["w2"]["b"].astype(dtype)
-    return x + 0.5 * h.astype(cfg.conformer_stream_dtype)
+    h = dropout(h.astype(cfg.conformer_stream_dtype), rate, rngs.next(),
+                train)
+    return x + 0.5 * h
 
 
-def _sp_conformer_local(params, cfg, src, mask, *, axis_name):
+def _sp_conformer_local(params, cfg, src, mask, *, axis_name, train=False,
+                        rng=None):
     sl = src.shape[1]
     shard = jax.lax.axis_index(axis_name)
     table = position_encoding_table(cfg.encoder_max_len, cfg.en_d_model)
@@ -263,21 +312,31 @@ def _sp_conformer_local(params, cfg, src, mask, *, axis_name):
 
     x = src.astype(dtype) @ params["src_proj"]["w"].astype(dtype)
     x = x.astype(sd) + table[gidx][None].astype(sd)
+    rate = cfg.en_dropout if train else 0.0
+    rngs = _Rngs(per_shard_rng(rng, axis_name))
+    x = dropout(x, rate, rngs.next(), train)
     for layer in params["layers"]:
-        x = _sp_half_ffn(layer["ffn1"], x, cfg)
+        # fresh per-layer splitter, mirroring conformer_encode's layer_fwd
+        lrngs = _Rngs(rngs.next())
+        x = _sp_half_ffn(layer["ffn1"], x, cfg, rate, lrngs, train)
         x = sp_banded_attention(layer["mhsa"], x, mask, cfg, axis_name,
-                                conformer=True)
-        x = _sp_conv_module(layer["conv"], x, mask, cfg, axis_name)
-        x = _sp_half_ffn(layer["ffn2"], x, cfg)
+                                conformer=True, rate=rate, rngs=lrngs,
+                                train=train)
+        x = _sp_conv_module(layer["conv"], x, mask, cfg, axis_name, rate,
+                            lrngs, train)
+        x = _sp_half_ffn(layer["ffn2"], x, cfg, rate, lrngs, train)
     return x
 
 
-def sp_conformer_encode(params, cfg, src, mask, mesh, *, seq_axis="seq"):
-    """Conformer encoder forward with the TIME axis sharded (inference).
-    Halo reach per layer: the attention band plus (kernel-1)//2 for the
-    depthwise conv — both bounded, so collectives stay neighbor-only."""
+def sp_conformer_encode(params, cfg, src, mask, mesh, *, seq_axis="seq",
+                        train=False, rng=None):
+    """Conformer encoder forward with the TIME axis sharded.  Halo reach
+    per layer: the attention band plus (kernel-1)//2 for the depthwise
+    conv — both bounded, so collectives stay neighbor-only.  ``train=True,
+    rng=key`` adds dropout with independent per-shard streams."""
     return _sp_shard(partial(_sp_conformer_local, params, cfg,
-                             axis_name=seq_axis), mesh, seq_axis, src, mask)
+                             axis_name=seq_axis, train=train, rng=rng),
+                     mesh, seq_axis, src, mask)
 
 
 SP_ENCODERS = {
@@ -286,7 +345,8 @@ SP_ENCODERS = {
 }
 
 
-def sp_encode(params, cfg, src, mask, mesh, *, seq_axis="seq"):
+def sp_encode(params, cfg, src, mask, mesh, *, seq_axis="seq", train=False,
+              rng=None):
     """Sequence-parallel encoder forward dispatched by cfg.encoder_type
     (banded and conformer support time sharding; the FIR-style tdnn/tdnnf
     encoders stream instead — models/streaming.py)."""
@@ -296,4 +356,5 @@ def sp_encode(params, cfg, src, mask, mesh, *, seq_axis="seq"):
         raise ValueError(
             f"encoder_type {cfg.encoder_type!r} has no sequence-parallel "
             f"forward (available: {sorted(SP_ENCODERS)})") from None
-    return fn(params, cfg, src, mask, mesh, seq_axis=seq_axis)
+    return fn(params, cfg, src, mask, mesh, seq_axis=seq_axis, train=train,
+              rng=rng)

@@ -169,3 +169,104 @@ def test_sp_gradients_match_single_device():
             jax.tree_util.tree_flatten_with_path(g_ref)[0]):
         rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
         assert rel < 1e-5, (path, rel)
+
+
+def test_per_shard_rng_streams_differ():
+    """Every time shard folds its mesh position into the dropout key —
+    identical keys would correlate masks across shards."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    from pytorch_kaldi_asr_tpu.parallel.sequence import per_shard_rng
+
+    assert per_shard_rng(None, "seq") is None
+    mesh = make_seq_mesh(8)
+    key = jax.random.PRNGKey(0)
+
+    def f(x):
+        k = per_shard_rng(key, "seq")
+        return x + jax.random.bits(k, x.shape, dtype=jnp.uint32)
+
+    x = jnp.zeros((1, 8 * 4, 1), jnp.uint32)
+    got = np.asarray(shard_map(
+        f, mesh=mesh, in_specs=P(None, "seq", None),
+        out_specs=P(None, "seq", None))(x)).reshape(8, 4)
+    # all shards drew distinct streams
+    assert len({tuple(row) for row in got}) == 8
+
+
+@pytest.mark.parametrize("enc", ["banded", "conformer"])
+def test_sp_train_rng_none_matches_inference(enc):
+    """train=True with rng=None must be bit-identical to the inference
+    forward (the rng-None no-dropout contract, models.common.dropout)."""
+    from pytorch_kaldi_asr_tpu.parallel.sequence import sp_encode
+
+    kw = dict(conformer_kernel=7) if enc == "conformer" else {}
+    cfg = small_cfg(encoder_type=enc, encoder_sub_sequence=(-8, 0),
+                    encoder_max_len=64, en_dropout=0.3, **kw)
+    params = init_transformer(jax.random.PRNGKey(1), cfg)["encoder"]
+    rng = np.random.default_rng(1)
+    src = jnp.asarray(rng.normal(size=(2, 64, cfg.src_dim)
+                                 ).astype(np.float32))
+    mask = jnp.asarray(np.ones((2, 64), np.uint8))
+    mesh = make_seq_mesh(8)
+    ref = sp_encode(params, cfg, src, mask, mesh)
+    got = sp_encode(params, cfg, src, mask, mesh, train=True, rng=None)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("enc", ["banded", "conformer"])
+def test_sp_train_dropout_applies_and_reproduces(enc):
+    """With a key, SP training dropout perturbs the output (vs inference),
+    is deterministic per key, and differs between keys."""
+    from pytorch_kaldi_asr_tpu.parallel.sequence import sp_encode
+
+    kw = dict(conformer_kernel=7) if enc == "conformer" else {}
+    cfg = small_cfg(encoder_type=enc, encoder_sub_sequence=(-8, 0),
+                    encoder_max_len=64, en_dropout=0.3, **kw)
+    params = init_transformer(jax.random.PRNGKey(2), cfg)["encoder"]
+    rng = np.random.default_rng(2)
+    src = jnp.asarray(rng.normal(size=(2, 64, cfg.src_dim)
+                                 ).astype(np.float32))
+    mask = jnp.asarray(np.ones((2, 64), np.uint8))
+    mesh = make_seq_mesh(8)
+    infer = np.asarray(sp_encode(params, cfg, src, mask, mesh))
+    a = np.asarray(sp_encode(params, cfg, src, mask, mesh, train=True,
+                             rng=jax.random.PRNGKey(7)))
+    a2 = np.asarray(sp_encode(params, cfg, src, mask, mesh, train=True,
+                              rng=jax.random.PRNGKey(7)))
+    b = np.asarray(sp_encode(params, cfg, src, mask, mesh, train=True,
+                             rng=jax.random.PRNGKey(8)))
+    assert np.isfinite(a).all()
+    assert not np.array_equal(a, infer)   # dropout actually applied
+    np.testing.assert_array_equal(a, a2)  # per-key deterministic
+    assert not np.array_equal(a, b)       # key-dependent
+
+
+def test_sp_train_gradients_finite_with_dropout():
+    """SP + dropout is differentiable end to end: gradients are finite and
+    nonzero, and at rate 0 they equal the dropout-free gradients."""
+    from pytorch_kaldi_asr_tpu.parallel.sequence import sp_banded_encode
+
+    cfg = small_cfg(encoder_type="banded", encoder_sub_sequence=(-8, 0),
+                    encoder_max_len=64, en_dropout=0.3)
+    params = init_transformer(jax.random.PRNGKey(4), cfg)["encoder"]
+    rng = np.random.default_rng(4)
+    src = jnp.asarray(rng.normal(size=(2, 64, cfg.src_dim)
+                                 ).astype(np.float32))
+    mask = jnp.asarray(np.ones((2, 64), np.uint8))
+    mesh = make_seq_mesh(8)
+
+    def loss(p):
+        out = sp_banded_encode(p, cfg, src, mask, mesh, train=True,
+                               rng=jax.random.PRNGKey(9))
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+    assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
