@@ -164,6 +164,21 @@ class StreamingLatgen:
     def finish(self):
         """Terminate with final weights.  Returns
         (word_ids, phone_frames, total_cost) or None."""
+        res = self.finish_entries()
+        if res is None:
+            return None
+        entries, best_cost = res
+        words = [ol for ol, _ in entries if ol != EPS]
+        phones = [il for _, il in entries if il != EPS]
+        return words, phones, best_cost
+
+    def finish_entries(self):
+        """Terminate with final weights, keeping the arc-level structure:
+        returns (entries, total_cost) where ``entries`` is the best path's
+        [(olabel, ilabel)] in TEMPORAL order — including epsilon entries,
+        so frame indices are recoverable by counting emitting (ilabel !=
+        eps) entries.  decode/align.py builds word time boundaries from
+        this.  None if no final token survived."""
         if self.dead:
             return None
         best_state, best_cost, best_tb = None, INF, -1
@@ -174,8 +189,13 @@ class StreamingLatgen:
                     best_state, best_cost, best_tb = s, total, tb
         if best_state is None:
             return None
-        words, phones = self._backtrace(best_tb)
-        return words, phones, best_cost
+        entries = []
+        tb = best_tb
+        while tb >= 0:
+            prev, ol, il = self.tracebacks[tb]
+            entries.append((ol, il))
+            tb = prev
+        return entries[::-1], best_cost
 
 
 def latgen(graph: Fst, log_posts, *, acoustic_scale=1.0, beam=16.0,
