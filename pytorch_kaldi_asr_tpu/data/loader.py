@@ -70,7 +70,11 @@ class BatchLoader:
     pre_load:  read every feature matrix up front (TIMIT-scale corpora);
                otherwise matrices are read per batch.
     src_pad / tgt_pad: static padded lengths; default = corpus max rounded up
-               to a multiple of 8 frames / 8 tokens (sublane-friendly).
+               to a multiple of ``pad_multiple`` frames / 8 tokens.
+    pad_multiple: rounding unit for the default src pads (8 = sublane-
+               friendly default; sequence-parallel training passes
+               lcm(8, seq_shards) so every static shape divides evenly
+               across the time shards).
     num_buckets: >1 groups utterances into length buckets, each padded to its
                own (fixed) length — K compiled shapes instead of padding the
                whole corpus to the global max (the XLA-friendly upgrade over
@@ -91,6 +95,7 @@ class BatchLoader:
         seed=0,
         shuffle=True,
         num_buckets=1,
+        pad_multiple=8,
     ):
         if mode not in ("drop", "all"):
             raise ValueError("mode of BatchLoader can only be [all] or [drop]")
@@ -116,7 +121,7 @@ class BatchLoader:
             if self._feats is not None
             else [kaldi_io.mat_num_rows(r) for r in self.src_refs]
         )
-        self.src_pad = src_pad or _round_up(max(src_lens), 8)
+        self.src_pad = src_pad or _round_up(max(src_lens), pad_multiple)
         self.tgt_pad = tgt_pad or _round_up(max(len(l) for l in self.labels), 8)
         self.feat_dim = (
             self._feats[0].shape[1]
@@ -134,7 +139,8 @@ class BatchLoader:
         for grp in splits:
             if len(grp) == 0:
                 continue
-            pad = src_pad or _round_up(max(src_lens[i] for i in grp), 8)
+            pad = src_pad or _round_up(max(src_lens[i] for i in grp),
+                                       pad_multiple)
             self._buckets.append((np.asarray(grp), pad))
 
     @staticmethod

@@ -210,9 +210,17 @@ def train_ngram_lm(sentences, order=3, *, gtmin=None, gtmax=7,
                 den -= 10 ** lm.word_logprob(w, context[1:])
             if num <= 0:
                 num = 1e-12
-            if den <= 0:
-                den = 1e-12
-            lm.backoff[context] = math.log10(num / den)
+            if den <= 1e-9:
+                # The lower-order model keeps (almost) no mass for unseen
+                # continuations — every word was observed after this
+                # context's suffix.  Backing off is vacuous, so use bow=1
+                # (SRILM's fallback): dividing by the floored denominator
+                # instead would yield bow ~ 1e12, whose hugely NEGATIVE
+                # arc cost makes weighted determinization of G diverge
+                # (seen: 20 GB mkgraph on a small-vocab long-form corpus).
+                lm.backoff[context] = 0.0
+            else:
+                lm.backoff[context] = math.log10(num / den)
 
     n_by_order = Counter(len(g) for g in lm.logprob)
     info(

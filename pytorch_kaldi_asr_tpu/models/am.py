@@ -37,6 +37,21 @@ def init_am(rng, cfg: TransformerConfig, n_targets, lda_mat=None):
     }
 
 
+def head_log_posteriors(params, cfg, enc, *, log_priors=None):
+    """Posterior head on encoder output ``enc`` [..., d_model]: linear to
+    the target inventory + log-softmax (minus log-priors if given).  The
+    head is position-local, so it serves the single-device path and the
+    sequence-parallel one (parallel/sequence.py sp_frame_ce_loss)
+    identically."""
+    dtype = cfg.compute_dtype
+    logits = enc.astype(dtype) @ params["head"]["w"].astype(dtype) \
+        + params["head"]["b"].astype(dtype)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    if log_priors is not None:
+        logp = logp - log_priors[None, None, :]
+    return logp
+
+
 def am_log_posteriors(params, cfg, src, src_mask, *, train=False, rng=None,
                       log_priors=None, pos_offset=0):
     """[B, S', n_targets] log-posteriors (minus log-priors if given).
@@ -44,12 +59,7 @@ def am_log_posteriors(params, cfg, src, src_mask, *, train=False, rng=None,
     (models/streaming.py passes the buffer's global frame index)."""
     enc, mask = encode(params, cfg, src, src_mask, train=train, rng=rng,
                        pos_offset=pos_offset)
-    dtype = cfg.compute_dtype
-    logits = enc.astype(dtype) @ params["head"]["w"].astype(dtype) \
-        + params["head"]["b"].astype(dtype)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    if log_priors is not None:
-        logp = logp - log_priors[None, None, :]
+    logp = head_log_posteriors(params, cfg, enc, log_priors=log_priors)
     return logp, mask
 
 

@@ -136,7 +136,10 @@ def _banded_self_attention(p, x, src_mask, cfg, rate, rngs, train):
 def banded_encode(params, cfg, src_seq, src_mask, *, train=False, rng=None):
     rngs = _Rngs(rng)
     s = src_seq.shape[1]
-    pos = position_encoding_table(cfg.encoder_max_len, cfg.en_d_model)[:s]
+    # the sinusoid table is closed-form, so sequences longer than
+    # encoder_max_len extrapolate exactly (no learned rows to run out of)
+    pos = position_encoding_table(max(cfg.encoder_max_len, s),
+                                  cfg.en_d_model)[:s]
 
     x = src_seq.astype(cfg.compute_dtype) @ params["src_proj"]["w"].astype(
         cfg.compute_dtype
@@ -360,7 +363,9 @@ def conformer_encode(params, cfg, src_seq, src_mask, *, train=False,
                      rng=None):
     rngs = _Rngs(rng)
     s = src_seq.shape[1]
-    pos = position_encoding_table(cfg.encoder_max_len, cfg.en_d_model)[:s]
+    # closed-form sinusoids: extrapolate past encoder_max_len (long-form)
+    pos = position_encoding_table(max(cfg.encoder_max_len, s),
+                                  cfg.en_d_model)[:s]
     dtype = cfg.compute_dtype
 
     x = src_seq.astype(dtype) @ params["src_proj"]["w"].astype(dtype)

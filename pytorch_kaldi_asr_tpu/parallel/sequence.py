@@ -171,12 +171,16 @@ def sp_banded_attention(p, x, valid, cfg, axis_name, *, conformer=False,
 def _sp_encode_local(params, cfg, src, mask, *, axis_name, train=False,
                      rng=None):
     """Per-shard banded encoder forward (banded_encode semantics:
-    src_proj → +pos (global index, clipped) → [attention, ffn] stack →
-    +pos, with the same dropout sites when training)."""
+    src_proj → +pos (global index) → [attention, ffn] stack → +pos, with
+    the same dropout sites when training)."""
     sl = src.shape[1]
     shard = jax.lax.axis_index(axis_name)
-    table = position_encoding_table(cfg.encoder_max_len, cfg.en_d_model)
-    gidx = jnp.clip(shard * sl + jnp.arange(sl), 0, cfg.encoder_max_len - 1)
+    n = jax.lax.psum(1, axis_name)  # static axis size
+    # table spans the GLOBAL length so every shard indexes the same
+    # closed-form sinusoids banded_encode extrapolates single-device
+    table = position_encoding_table(max(cfg.encoder_max_len, sl * n),
+                                    cfg.en_d_model)
+    gidx = shard * sl + jnp.arange(sl)
     pos = table[gidx]
 
     x = src.astype(cfg.compute_dtype) @ params["src_proj"]["w"].astype(
@@ -305,8 +309,10 @@ def _sp_conformer_local(params, cfg, src, mask, *, axis_name, train=False,
                         rng=None):
     sl = src.shape[1]
     shard = jax.lax.axis_index(axis_name)
-    table = position_encoding_table(cfg.encoder_max_len, cfg.en_d_model)
-    gidx = jnp.clip(shard * sl + jnp.arange(sl), 0, cfg.encoder_max_len - 1)
+    n = jax.lax.psum(1, axis_name)  # static axis size
+    table = position_encoding_table(max(cfg.encoder_max_len, sl * n),
+                                    cfg.en_d_model)
+    gidx = shard * sl + jnp.arange(sl)
     dtype = cfg.compute_dtype
     sd = cfg.conformer_stream_dtype
 
@@ -358,3 +364,37 @@ def sp_encode(params, cfg, src, mask, mesh, *, seq_axis="seq", train=False,
             f"forward (available: {sorted(SP_ENCODERS)})") from None
     return fn(params, cfg, src, mask, mesh, seq_axis=seq_axis, train=train,
               rng=rng)
+
+
+def sp_frame_ce_loss(params, cfg, src, src_mask, targets, mesh, *,
+                     seq_axis="seq", train=False, rng=None, utt_valid=None):
+    """Sequence-parallel frame-level CE (models/am.py frame_ce_loss
+    semantics) for LONG-FORM hybrid AM training: the encoder forward runs
+    time-sharded over ``mesh`` (:func:`sp_encode`); the posterior head,
+    log-softmax, and per-frame CE are all position-local, so they stay
+    sharded ordinary ops — GSPMD reduces the masked sums across shards
+    without ever gathering [B, S, n_targets] posteriors to one device.
+
+    ``src`` [B, S, D], ``src_mask``/``targets`` [B, S] with S divisible by
+    the mesh's ``seq_axis`` size (pad with mask-0 frames).  Requires
+    cfg.src_fold == 1 (time-sharded targets must stay frame-aligned).
+    Returns (loss_sum, n_correct, n_frames) — the same contract as
+    frame_ce_loss, so recipes/train_am.py swaps it in under -seq_shards."""
+    if cfg.src_fold != 1:
+        raise ValueError(
+            "sp_frame_ce_loss requires src_fold == 1: folding re-times the "
+            "encoder output, so per-frame targets would no longer align "
+            "with the time shards")
+    import pytorch_kaldi_asr_tpu.models.am as am
+
+    enc = sp_encode(params["encoder"], cfg, src, src_mask, mesh,
+                    seq_axis=seq_axis, train=train, rng=rng)
+    logp = am.head_log_posteriors(params, cfg, enc)
+    valid = src_mask.astype(jnp.float32)
+    if utt_valid is not None:
+        valid = valid * jnp.asarray(utt_valid).astype(jnp.float32)[:, None]
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1).squeeze(-1)
+    loss = jnp.sum(nll * valid)
+    pred = jnp.argmax(logp, axis=-1)
+    n_correct = jnp.sum((pred == targets) * valid)
+    return loss, n_correct, jnp.sum(valid)

@@ -6,6 +6,7 @@ Alignments are a ``key id id ...`` text table (the shape of Kaldi
 ``ali-to-pdf | copy-int-vector ark,t:-`` output)."""
 
 import argparse
+import math
 import os
 
 import numpy as np
@@ -51,9 +52,15 @@ def am_batch_loader(data_dir, batch_size, mode="drop", **kw):
 def train_am(data_dir, dev_dir, save_dir, *, encoder_type="tdnnf",
              n_targets=None, epochs=10, batch_size=16, lr=0.001,
              soft_coefficient=25000.0, en_d_model=256, en_layers=None,
-             seed=0, semi_orth_interval=4):
-    loader = am_batch_loader(data_dir, batch_size)
-    dev_loader = am_batch_loader(dev_dir, batch_size, mode="all")
+             seed=0, semi_orth_interval=4, seq_shards=0,
+             encoder_sub_sequence=None, en_dropout=0.1):
+    pad_multiple = 8
+    if seq_shards > 1:
+        pad_multiple = 8 * seq_shards // math.gcd(8, seq_shards)
+    loader = am_batch_loader(data_dir, batch_size,
+                             pad_multiple=pad_multiple)
+    dev_loader = am_batch_loader(dev_dir, batch_size, mode="all",
+                                 pad_multiple=pad_multiple)
     if n_targets is None:
         n_targets = 1 + max(
             int(l.max()) for l in loader.labels
@@ -67,15 +74,38 @@ def train_am(data_dir, dev_dir, save_dir, *, encoder_type="tdnnf",
                 f"{name} alignments contain id {top} >= n_targets "
                 f"{n_targets}; pass the true inventory size via -n_targets"
             )
+    cfg_kw = {}
+    if encoder_sub_sequence is not None:
+        cfg_kw["encoder_sub_sequence"] = tuple(encoder_sub_sequence)
     cfg = TransformerConfig(
         src_dim=loader.feat_dim,
         vocab_size=n_targets,  # unused by the AM head, kept coherent
         encoder_type=encoder_type,
         en_d_model=en_d_model,
         encoder_max_len=loader.src_pad,
-        en_dropout=0.1,
+        en_dropout=en_dropout,
+        **cfg_kw,
     )
     params = am.init_am(jax.random.PRNGKey(seed), cfg, n_targets)
+
+    mesh = None
+    if seq_shards > 1:
+        # LONG-FORM path: shard the TIME axis over the mesh so utterances
+        # whose activations exceed one chip's HBM still train — halo
+        # exchanges ride ICI per layer (parallel/sequence.py).
+        from pytorch_kaldi_asr_tpu.parallel.sequence import (
+            make_seq_mesh,
+            sp_frame_ce_loss,
+        )
+
+        if len(jax.devices()) < seq_shards:
+            raise ValueError(
+                f"-seq_shards {seq_shards} exceeds the {len(jax.devices())} "
+                "visible devices")
+        mesh = make_seq_mesh(seq_shards)
+        info("sequence-parallel training: time axis over %d shards "
+             "(%d-frame pads, %d local frames)", seq_shards, loader.src_pad,
+             loader.src_pad // seq_shards)
 
     tx = optax.chain(
         optax.scale_by_adam(),
@@ -84,12 +114,20 @@ def train_am(data_dir, dev_dir, save_dir, *, encoder_type="tdnnf",
     )
     opt_state = tx.init(params)
 
+    def loss_parts(p, src, src_mask, tgt, *, train=False, rng=None,
+                   utt_valid=None):
+        if mesh is not None:
+            return sp_frame_ce_loss(p, cfg, src, src_mask, tgt, mesh,
+                                    train=train, rng=rng,
+                                    utt_valid=utt_valid)
+        return am.frame_ce_loss(p, cfg, src, src_mask, tgt, train=train,
+                                rng=rng, utt_valid=utt_valid)
+
     @jax.jit
     def train_step(params, opt_state, src, src_mask, tgt, rng):
         def loss_fn(p):
-            loss, n_correct, n = am.frame_ce_loss(
-                p, cfg, src, src_mask, tgt, train=True, rng=rng
-            )
+            loss, n_correct, n = loss_parts(p, src, src_mask, tgt,
+                                            train=True, rng=rng)
             return loss / n, (n_correct, n)
 
         (loss, (n_correct, n)), grads = jax.value_and_grad(
@@ -101,8 +139,8 @@ def train_am(data_dir, dev_dir, save_dir, *, encoder_type="tdnnf",
 
     @jax.jit
     def eval_step(params, src, src_mask, tgt, valid):
-        loss, n_correct, n = am.frame_ce_loss(params, cfg, src, src_mask,
-                                              tgt, utt_valid=valid)
+        loss, n_correct, n = loss_parts(params, src, src_mask, tgt,
+                                        utt_valid=valid)
         return n_correct, n
 
     rng = jax.random.PRNGKey(seed + 1)
@@ -151,14 +189,28 @@ def main(argv=None):
     parser.add_argument("-batch_size", type=int, default=16)
     parser.add_argument("-en_d_model", type=int, default=256)
     parser.add_argument("-optim_start_lr", type=float, default=0.001)
+    parser.add_argument("-en_dropout", type=float, default=0.1)
+    parser.add_argument("-seq_shards", type=int, default=0,
+                        help="shard the TIME axis over this many devices "
+                             "(long-form utterances; banded/conformer "
+                             "encoders only — see parallel/sequence.py)")
+    parser.add_argument("-encoder_sub_sequence", default=None,
+                        help="attention band '(start,end)', e.g. '(-100,0)'")
     opt = parser.parse_args(argv)
+
+    sub_seq = None
+    if opt.encoder_sub_sequence:
+        from pytorch_kaldi_asr_tpu.recipes.initialize_model import str2tuple
+
+        sub_seq = str2tuple(opt.encoder_sub_sequence)
 
     procedure("hybrid AM training")
     train_am(
         opt.read_train_dir, opt.read_dev_dir, opt.save_model_dir,
         encoder_type=opt.encoder_type, n_targets=opt.n_targets,
         epochs=opt.epoch, batch_size=opt.batch_size, lr=opt.optim_start_lr,
-        en_d_model=opt.en_d_model,
+        en_d_model=opt.en_d_model, en_dropout=opt.en_dropout,
+        seq_shards=opt.seq_shards, encoder_sub_sequence=sub_seq,
     )
     return 0
 

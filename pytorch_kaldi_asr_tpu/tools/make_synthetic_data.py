@@ -23,9 +23,13 @@ WORDS = ["sil", "ah", "ae", "iy", "uw", "k", "t", "d", "s", "m", "n", "r"]
 
 def make_dataset(data_dir, n_utts, *, feat_dim=40, seed=0,
                  frames_per_word=6, words=WORDS, n_speakers=3,
-                 word_means=None):
+                 word_means=None, min_words=2, max_words=6):
     """``word_means`` (the word→prototype mapping) must be SHARED across the
-    train/dev/test splits of one corpus or the task is unlearnable."""
+    train/dev/test splits of one corpus or the task is unlearnable.
+    ``min_words``/``max_words`` bound the utterance length in words — the
+    defaults give TIMIT-shaped short utterances; the long-form recipe
+    (recipes/longform-conformer) raises them so utterances span thousands
+    of frames and exercise sequence-parallel training."""
     rng = np.random.default_rng(seed)
     os.makedirs(data_dir, exist_ok=True)
     if word_means is None:
@@ -47,7 +51,7 @@ def make_dataset(data_dir, n_utts, *, feat_dim=40, seed=0,
             # the Kaldi data-dir invariant validate_data_dir enforces
             spk = f"spk{i // per_spk}"
             key = f"{spk}_utt{i:04d}"
-            n_words = int(rng.integers(2, 7))
+            n_words = int(rng.integers(min_words, max_words + 1))
             sent = list(rng.choice(words, size=n_words))
             frames = []
             ali = []
@@ -98,19 +102,31 @@ def main(argv=None):
     parser.add_argument("-n_test", type=int, default=16)
     parser.add_argument("-feat_dim", type=int, default=40)
     parser.add_argument("-seed", type=int, default=0)
+    parser.add_argument("-min_words", type=int, default=2)
+    parser.add_argument("-max_words", type=int, default=6)
+    parser.add_argument("-frames_per_word", type=int, default=6)
     opt = parser.parse_args(argv)
 
+    shape = dict(feat_dim=opt.feat_dim, min_words=opt.min_words,
+                 max_words=opt.max_words,
+                 frames_per_word=opt.frames_per_word)
     data = os.path.join(opt.out_dir, "data")
     word_means = make_dataset(os.path.join(data, "train"), opt.n_train,
-                              feat_dim=opt.feat_dim, seed=opt.seed)
-    make_dataset(os.path.join(data, "dev"), opt.n_dev,
-                 feat_dim=opt.feat_dim, seed=opt.seed + 1,
-                 word_means=word_means)
-    make_dataset(os.path.join(data, "test"), opt.n_test,
-                 feat_dim=opt.feat_dim, seed=opt.seed + 2,
-                 word_means=word_means)
+                              seed=opt.seed, **shape)
+    make_dataset(os.path.join(data, "dev"), opt.n_dev, seed=opt.seed + 1,
+                 word_means=word_means, **shape)
+    make_dataset(os.path.join(data, "test"), opt.n_test, seed=opt.seed + 2,
+                 word_means=word_means, **shape)
     make_lda_mat(os.path.join(data, "lda.mat"), feat_dim=opt.feat_dim,
                  seed=opt.seed)
+    # Phone/target symbol table for the hybrid path: the ali.txt ids index
+    # WORDS, so phone id = WORDS index + 1 keeps posterior column k aligned
+    # with symbol k+1 (the latgen sym_offset=1 convention); mkgraph
+    # -self_lexicon builds the identity lexicon from this table.
+    with open(os.path.join(data, "phones.txt"), "w",
+              encoding="utf-8") as f:
+        for i, w in enumerate(WORDS):
+            f.write(f"{w} {i + 1}\n")
     print(f"synthetic corpus written under {data}")
     return 0
 

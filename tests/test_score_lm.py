@@ -113,6 +113,22 @@ def test_lm_probabilities_normalize():
         assert total == pytest.approx(1.0, abs=2e-2), (context, total)
 
 
+def test_lm_backoff_weights_bounded_on_closed_vocab():
+    """Tiny closed vocab where every word follows every context: the
+    lower-order model keeps no mass for unseen continuations, so the bow
+    denominator hits zero.  The SRILM-style fallback must emit bow=1 —
+    the 1e-12 floor previously yielded bow ~ 1e12 (log10 ≈ +15), whose
+    negative-cost backoff arcs made mkgraph's weighted determinization
+    diverge (20 GB on the long-form recipe's LM)."""
+    rng = __import__("random").Random(0)
+    vocab = ["a", "b", "c"]
+    corpus = [[rng.choice(vocab) for _ in range(30)] for _ in range(12)]
+    lm = train_ngram_lm(corpus, order=3)
+    assert lm.backoff, "expected backoff weights"
+    worst = max(lm.backoff.values())
+    assert worst <= 1.0, f"exploded backoff weight: 10^{worst}"
+
+
 def test_lm_sentence_logprob_and_oov():
     lm = train_ngram_lm(CORPUS, order=3)
     lp, scored, oov = lm.sentence_logprob("the cat sat on the mat".split())
