@@ -91,7 +91,7 @@ class Recognizer:
 
     def __init__(self, model_file, vocab_file, *, beam_size=8,
                  max_token_seq_len=None, buckets=DEFAULT_BUCKETS,
-                 use_cache=True):
+                 use_cache=True, quantize_weights=False):
         from pytorch_kaldi_asr_tpu.data import instances
         from pytorch_kaldi_asr_tpu.decode.runner import _pick_search
         from pytorch_kaldi_asr_tpu.train.checkpoint import load_checkpoint
@@ -106,6 +106,37 @@ class Recognizer:
         self.max_len = max_token_seq_len or self.cfg.decoder_max_len
         self.buckets = _clip_buckets(buckets, self.cfg.encoder_max_len)
         self.search = _pick_search(self.cfg, use_cache)
+        self.quantize_weights = quantize_weights
+        if quantize_weights:
+            # int8-weight serving: store matmul weights as int8+scale and
+            # dequantize INSIDE the jitted search (ops/quant.py) — 4x less
+            # parameter HBM and per-step weight traffic, no model changes
+            import functools
+
+            import jax
+
+            from pytorch_kaldi_asr_tpu.ops.quant import (
+                dequantize_tree,
+                quantize_tree,
+                tree_bytes,
+            )
+
+            before = tree_bytes(self.params)
+            self.params, nq = quantize_tree(self.params)
+            base_search = self.search
+
+            @functools.partial(
+                jax.jit, static_argnames=("cfg", "beam_size", "max_len"))
+            def quantized_search(params, cfg, src, src_mask, *, beam_size,
+                                 max_len):
+                return base_search(dequantize_tree(params), cfg, src,
+                                   src_mask, beam_size=beam_size,
+                                   max_len=max_len)
+
+            self.search = quantized_search
+            info("int8 weights: %d matmul tensors quantized, params "
+                 "%.1f -> %.1f MB", nq, before / 1e6,
+                 tree_bytes(self.params) / 1e6)
         self.lock = threading.Lock()
 
     def reload(self, model_file=None):
@@ -122,8 +153,13 @@ class Recognizer:
             raise ValueError(
                 f"checkpoint config at {path!r} differs from the serving "
                 f"config; restart the server for architecture changes")
+        new_params = ck["params"]
+        if self.quantize_weights:
+            from pytorch_kaldi_asr_tpu.ops.quant import quantize_tree
+
+            new_params, _ = quantize_tree(new_params)
         with self.lock:  # swap between searches, never mid-search
-            self.params = ck["params"]
+            self.params = new_params
             self.model_file = path
             self.model_meta = ck.get("meta", {})
         info("reloaded checkpoint %s (epoch %s, step %s)", path,
@@ -301,7 +337,7 @@ class HybridRecognizer:
 
     def __init__(self, model_file, graph_dir, *, beam=16.0, max_active=2000,
                  priors_file=None, acoustic_scale=1.0,
-                 buckets=DEFAULT_BUCKETS):
+                 buckets=DEFAULT_BUCKETS, quantize_weights=False):
         import jax
 
         from pytorch_kaldi_asr_tpu.fst.openfst_io import read_fst
@@ -332,7 +368,24 @@ class HybridRecognizer:
 
         from pytorch_kaldi_asr_tpu.models.am import am_log_posteriors
 
+        self.quantize_weights = quantize_weights
+        if quantize_weights:
+            from pytorch_kaldi_asr_tpu.ops.quant import (
+                quantize_tree,
+                tree_bytes,
+            )
+
+            before = tree_bytes(self.params)
+            self.params, nq = quantize_tree(self.params)
+            info("hybrid: int8 weights, %d tensors quantized, params "
+                 "%.1f -> %.1f MB", nq, before / 1e6,
+                 tree_bytes(self.params) / 1e6)
+
         def fwd(params, src, mask):
+            if self.quantize_weights:
+                from pytorch_kaldi_asr_tpu.ops.quant import dequantize_tree
+
+                params = dequantize_tree(params)
             logp, _ = am_log_posteriors(params, self.cfg, src, mask)
             return logp
 
@@ -385,8 +438,13 @@ class HybridRecognizer:
         template = am.init_am(jax.random.PRNGKey(0), cfg,
                               meta.get("n_targets"))
         ck = load_checkpoint(path, template_params=template)
+        new_params = ck["params"]
+        if self.quantize_weights:
+            from pytorch_kaldi_asr_tpu.ops.quant import quantize_tree
+
+            new_params, _ = quantize_tree(new_params)
         with self.lock:
-            self.params = ck["params"]
+            self.params = new_params
             self.model_file = path
             self.model_meta = dict(meta)
         info("hybrid: reloaded checkpoint %s (epoch %s, step %s)", path,
@@ -476,6 +534,10 @@ class HybridRecognizer:
         from pytorch_kaldi_asr_tpu.models.streaming import StreamingTDNN
 
         def apply_fn(p, c, buf, m, pos_offset=0):
+            if self.quantize_weights:
+                from pytorch_kaldi_asr_tpu.ops.quant import dequantize_tree
+
+                p = dequantize_tree(p)
             return am_log_posteriors(p, c, buf, m, pos_offset=pos_offset)
 
         return _HybridStream(
@@ -1022,6 +1084,10 @@ def main(argv=None):
                              "(both modes; in hybrid mode the AM forward "
                              "batches, the graph searches stay per-utt)")
     parser.add_argument("-batch_window_ms", type=float, default=5.0)
+    parser.add_argument("-quantize_weights", action="store_true",
+                        help="serve int8 matmul weights (ops/quant.py): "
+                             "4x less parameter HBM/traffic, dequantized "
+                             "inside the jitted step")
     parser.add_argument("-no_warmup", action="store_true")
     opt = parser.parse_args(argv)
 
@@ -1031,14 +1097,16 @@ def main(argv=None):
         rec = HybridRecognizer(opt.read_model_file, opt.graph_dir,
                                beam=opt.beam, priors_file=opt.priors_file,
                                acoustic_scale=opt.acoustic_scale,
-                               buckets=buckets)
+                               buckets=buckets,
+                               quantize_weights=opt.quantize_weights)
     else:
         if not opt.read_vocab_file:
             parser.error("-read_vocab_file is required without -graph_dir")
         rec = Recognizer(opt.read_model_file, opt.read_vocab_file,
                          beam_size=opt.beam_size,
                          max_token_seq_len=opt.max_token_seq_len,
-                         buckets=buckets)
+                         buckets=buckets,
+                         quantize_weights=opt.quantize_weights)
     if opt.max_batch > 1:
         rec = MicroBatcher(rec, max_batch=opt.max_batch,
                            window_ms=opt.batch_window_ms)
