@@ -3,7 +3,7 @@ grid schedulers (kaldi/queue.pl, utils/run.pl, slurm.pl, pbs.pl, ssh.pl —
 SURVEY.md §2b/§5.8), preserving their uniform CLI contract::
 
     launch [--max-jobs N] [--retries N] [--resubmit N] [--hosts FILE]
-           [JOB=1:N] <log-file> <command...>
+           [--gang] [JOB=1:N] <log-file> <command...>
 
 - ``JOB=1:N`` expands into N jobs with ``JOB`` substituted in the log path
   and arguments (run.pl's array-job contract);
@@ -20,6 +20,12 @@ SURVEY.md §2b/§5.8), preserving their uniform CLI contract::
   preserved and logs collected locally — the ssh.pl role
   (reference kaldi/utils/ssh.pl:1-218).  The ssh binary is overridable via
   $PKA_SSH (used by tests; also handy for custom rsh wrappers).
+- ``--gang`` runs the array as one SPMD GANG (multi-host jax.distributed
+  training): any rank failing gets the survivors SIGTERMed (a dead rank
+  wedges their collectives; preemption-aware trainers checkpoint on TERM)
+  and the WHOLE array relaunched on the --retries/--resubmit budgets,
+  resuming from the newest checkpoint — the elastic-training story for
+  preemptible multi-host pools;
 - ``--backend sge|slurm|pbs`` submits the array to a real batch scheduler
   instead (queue.pl/slurm.pl/pbs.pl roles) via parallel/batch.py: wrapper
   script + qsub/sbatch + sync-file polling; ``-q QUEUE`` and ``-l RES``
@@ -61,9 +67,34 @@ def remote_command(host, command, cwd=None, ssh=None):
     return shlex.split(ssh) + ["-o", "BatchMode=yes", host, remote]
 
 
-def run_job(log_file, command, job=None, host=None):
-    """Run one command (locally, or on ``host`` via ssh), capturing output
-    into log_file with Kaldi-style book-ends.  Returns the exit code."""
+class _RunningJob:
+    """A started array element: Popen handle + open log (gang mode needs
+    to kill survivors, so starting and finishing are split)."""
+
+    def __init__(self, proc, log, start, log_file, job):
+        self.proc = proc
+        self.log = log
+        self.start = start
+        self.log_file = log_file
+        self.job = job
+
+    def finish(self, note=None):
+        """Write the Kaldi book-ends once the process has exited."""
+        code = self.proc.returncode
+        elapsed = time.time() - self.start
+        if note:
+            self.log.write(f"# {note}\n")
+        self.log.write(f"# Accounting: time={int(elapsed)} threads=1\n")
+        self.log.write(f"# Ended (code {code}) at "
+                       f"{time.ctime()}, elapsed time {elapsed:.0f} "
+                       "seconds\n")
+        self.log.close()
+        return code
+
+
+def start_job(log_file, command, job=None, host=None):
+    """Start one command (locally, or on ``host`` via ssh) with its output
+    captured into log_file; returns a :class:`_RunningJob`."""
     if job is not None:
         log_file = _expand(log_file, job)
         command = [_expand(c, job) for c in command]
@@ -71,20 +102,22 @@ def run_job(log_file, command, job=None, host=None):
         command = remote_command(host, command)
     os.makedirs(os.path.dirname(os.path.abspath(log_file)), exist_ok=True)
     start = time.time()
-    with open(log_file, "w", encoding="utf-8") as log:
-        log.write("# " + " ".join(command) + "\n")
-        if host:
-            log.write(f"# Running on {host}\n")
-        log.write("# Started at " + time.ctime(start) + "\n#\n")
-        log.flush()
-        proc = subprocess.run(
-            command, stdout=log, stderr=subprocess.STDOUT
-        )
-        elapsed = time.time() - start
-        log.write(f"# Accounting: time={int(elapsed)} threads=1\n")
-        log.write(f"# Ended (code {proc.returncode}) at "
-                  f"{time.ctime()}, elapsed time {elapsed:.0f} seconds\n")
-    return proc.returncode
+    log = open(log_file, "w", encoding="utf-8")
+    log.write("# " + " ".join(command) + "\n")
+    if host:
+        log.write(f"# Running on {host}\n")
+    log.write("# Started at " + time.ctime(start) + "\n#\n")
+    log.flush()
+    proc = subprocess.Popen(command, stdout=log, stderr=subprocess.STDOUT)
+    return _RunningJob(proc, log, start, log_file, job)
+
+
+def run_job(log_file, command, job=None, host=None):
+    """Run one command (locally, or on ``host`` via ssh), capturing output
+    into log_file with Kaldi-style book-ends.  Returns the exit code."""
+    running = start_job(log_file, command, job, host=host)
+    running.proc.wait()
+    return running.finish()
 
 
 def run_job_with_retries(log_file, command, job=None, retries=0, host=None,
@@ -112,6 +145,73 @@ def run_job_with_retries(log_file, command, job=None, retries=0, host=None,
     return code
 
 
+#: seconds a killed gang survivor gets between SIGTERM and SIGKILL — the
+#: TERM window lets a preemption-aware trainer write its checkpoint
+GANG_KILL_GRACE = 10.0
+
+
+def run_gang(log_file, command, jobs, *, hosts=None, retries=0,
+             resubmits=0, poll_s=0.2):
+    """Run the array as ONE GANG — the multi-host SPMD failure model.
+
+    The reference's schedulers treat array elements as independent; a
+    jax.distributed world is not: one dead rank wedges every surviving
+    rank inside its next collective.  Gang semantics: if any element
+    exits nonzero while others run, SIGTERM the survivors (a
+    preemption-aware trainer checkpoints on TERM — recipes/train.py),
+    then relaunch the WHOLE array, which resumes from the newest
+    checkpoint via the trainer's own ``-resume``.  ``retries`` budgets
+    relaunches after failures, ``resubmits`` after preemptions
+    (PREEMPT_EXIT_CODE ranks), mirroring run_job_with_retries.
+
+    Returns 0 on a fully-clean attempt, else the first failing code of
+    the last attempt."""
+    attempt = resub = 0
+    while True:
+        running = [
+            start_job(log_file, command, j,
+                      host=hosts[i % len(hosts)] if hosts else None)
+            for i, j in enumerate(jobs)
+        ]
+        first_bad = None
+        alive = list(running)
+        while alive and first_bad is None:
+            time.sleep(poll_s)
+            for r in list(alive):
+                if r.proc.poll() is None:
+                    continue
+                alive.remove(r)
+                if r.proc.returncode != 0 and first_bad is None:
+                    first_bad = r
+        if first_bad is not None and alive:
+            for r in alive:
+                r.proc.terminate()
+            deadline = time.time() + GANG_KILL_GRACE
+            for r in alive:
+                try:
+                    r.proc.wait(timeout=max(0.1, deadline - time.time()))
+                except subprocess.TimeoutExpired:
+                    r.proc.kill()
+                    r.proc.wait()
+        note = (f"Gang: killed after job {first_bad.job} exited "
+                f"{first_bad.proc.returncode}" if first_bad else None)
+        codes = []
+        for r in running:
+            r.proc.wait()
+            codes.append(r.finish(note if r in alive else None))
+        if all(c == 0 for c in codes):
+            return 0
+        bad = [c for c in codes if c != 0]
+        if all(c == PREEMPT_EXIT_CODE for c in bad):
+            if resub >= resubmits:
+                return bad[0]
+            resub += 1
+        else:
+            if attempt >= retries:
+                return next(c for c in bad if c != PREEMPT_EXIT_CODE)
+            attempt += 1
+
+
 def read_hosts(path):
     """One host per line; '#' comments; a host may repeat to receive more
     slots (the .queue/machines convention ssh.pl reads)."""
@@ -135,9 +235,12 @@ def launch(argv):
     backend = None
     queue_name = None
     resources = []
+    gang = False
     while argv and (argv[0].startswith("--") or argv[0] in ("-q", "-l")):
         opt = argv.pop(0)
-        if opt.startswith("--max-jobs"):
+        if opt == "--gang":
+            gang = True
+        elif opt.startswith("--max-jobs"):
             max_jobs = int(opt.split("=", 1)[1] if "=" in opt else argv.pop(0))
         elif opt.startswith("--retries"):
             retries = int(opt.split("=", 1)[1] if "=" in opt else argv.pop(0))
@@ -174,6 +277,9 @@ def launch(argv):
     if backend:
         from pytorch_kaldi_asr_tpu.parallel import batch
 
+        if gang:
+            raise SystemExit("--gang and --backend are mutually exclusive "
+                             "(use the scheduler's gang scheduling)")
         if hosts:
             raise SystemExit("--hosts and --backend are mutually exclusive "
                              "(the scheduler owns machine placement)")
@@ -197,6 +303,9 @@ def launch(argv):
         return 0
 
     if job_range is None:
+        if gang:
+            raise SystemExit("--gang needs a JOB=1:N array (the gang is "
+                             "the set of SPMD ranks)")
         code = run_job_with_retries(log_file, command, retries=retries,
                                     host=hosts[0] if hosts else None,
                                     resubmits=resubmits)
@@ -204,6 +313,18 @@ def launch(argv):
             print(f"launch: job failed (code {code}), log is in {log_file}",
                   file=sys.stderr)
         return code
+
+    if gang:
+        code = run_gang(log_file, command, list(job_range), hosts=hosts,
+                        retries=retries, resubmits=resubmits)
+        if code != 0:
+            print(
+                f"launch: gang failed (code {code}), log is in "
+                f"{_expand(log_file, '*')}",
+                file=sys.stderr,
+            )
+            return 1
+        return 0
 
     failed = 0
     jobs = list(job_range)

@@ -49,6 +49,11 @@ def _cfg():
 def main():
     job = int(sys.argv[1])  # launcher JOB index, 1-based
     n, port, out_dir = int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    # gang-elasticity test hook: on the FIRST attempt (flag file absent)
+    # the last rank dies mid-training; the --gang launcher must kill the
+    # survivor and relaunch the whole array, which re-forms the
+    # jax.distributed world on the SAME coordinator address
+    die_flag = sys.argv[5] if len(sys.argv) > 5 else None
     pid = job - 1
     idx, cnt = multihost.initialize(
         coordinator=f"127.0.0.1:{port}", num_processes=n, process_id=pid)
@@ -83,7 +88,13 @@ def main():
     tgt, tgt_mask = to_global(g_tgt), to_global(g_tgt_mask)
 
     losses = []
-    for _ in range(5):
+    for i in range(5):
+        if (die_flag and not os.path.exists(die_flag) and pid == n - 1
+                and i == 3):
+            with open(die_flag, "w", encoding="utf-8") as f:
+                f.write("died at step 3\n")
+            print("MULTIHOST_TRAIN_DYING", flush=True)
+            os._exit(1)  # simulated host loss mid-training
         state, metrics = train_step(state, src, src_mask, tgt, tgt_mask)
         losses.append(float(metrics["loss"]))  # replicated scalar
     assert losses[-1] < losses[0], losses

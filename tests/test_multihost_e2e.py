@@ -73,3 +73,32 @@ def test_launcher_driven_two_process_training(tmp_path):
         assert f"MULTIHOST_TRAIN_OK {i}/{n}" in out, out
         assert "devices=4" in out  # 2 hosts x 2 local devices
     assert (tmp_path / "ckpt" / "params.msgpack").exists()
+
+
+@pytest.mark.slow
+def test_gang_restart_reforms_distributed_world(tmp_path):
+    """Elastic multi-host training (ROADMAP item 7's remaining leg): rank
+    2 dies mid-training on the first attempt; the --gang launcher kills
+    the survivor (wedged in the next collective) and relaunches the whole
+    array, which RE-FORMS the jax.distributed world on the same
+    coordinator address and trains to completion."""
+    port = _free_port()
+    n = 2
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    log = tmp_path / "train.JOB.log"
+    die_flag = tmp_path / "rank2_died_once"
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytorch_kaldi_asr_tpu.parallel.launch",
+         "--gang", "--retries", "1", f"JOB=1:{n}", str(log),
+         sys.executable, os.path.join(HERE, "multihost_train_worker.py"),
+         "JOB", str(n), str(port), str(tmp_path), str(die_flag)],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd=os.path.dirname(HERE),
+    )
+    assert proc.returncode == 0, proc.stderr + proc.stdout
+    assert die_flag.exists()  # the first attempt really died
+    for i in range(n):
+        out = (tmp_path / f"train.{i + 1}.log").read_text()
+        assert f"MULTIHOST_TRAIN_OK {i}/{n}" in out, out
+    assert (tmp_path / "ckpt" / "params.msgpack").exists()
