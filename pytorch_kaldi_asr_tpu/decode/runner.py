@@ -46,12 +46,35 @@ def ids_to_words(ids, idx2word):
 
 
 def decode_dataset(params, cfg, loader, word2idx, *, beam_size, nbest,
-                   max_token_seq_len, save_result_file, use_cache=True):
+                   max_token_seq_len, save_result_file, use_cache=True,
+                   quantize_weights=False):
     """Decode every batch of ``loader`` (mode='all') and write the n-best
-    file.  Returns the number of lines written."""
+    file.  Returns the number of lines written.  ``quantize_weights``
+    serves weight-only int8 (ops/quant.py): the stored tree is int8 +
+    per-channel scales, dequantized inside the jitted search."""
     if nbest > beam_size:
         raise ValueError("nbest should not be larger than beam_size")
     search = _pick_search(cfg, use_cache)
+    if quantize_weights:
+        import functools
+
+        import jax
+
+        from pytorch_kaldi_asr_tpu.ops.quant import (
+            dequantize_tree,
+            quantize_tree,
+        )
+
+        params, nq = quantize_tree(params)
+        base_search = search
+
+        @functools.partial(jax.jit,
+                           static_argnames=("cfg", "beam_size", "max_len"))
+        def search(p, cfg, src, mask, *, beam_size, max_len):
+            return base_search(dequantize_tree(p), cfg, src, mask,
+                               beam_size=beam_size, max_len=max_len)
+
+        info("decoding with int8 weights (%d tensors quantized)", nq)
     idx2word = {index: word for word, index in word2idx.items()}
     lines = 0
     with open(save_result_file, "w", encoding="utf-8") as f:

@@ -27,6 +27,8 @@ def main(argv=None):
                              "less wasted beam work)")
     parser.add_argument("-use_gpu", action="store_true",
                         help="accepted for recipe compatibility")
+    parser.add_argument("-quantize_weights", action="store_true",
+                        help="weight-only int8 decoding (ops/quant.py)")
     opt = parser.parse_args(argv)
 
     if opt.nbest > opt.beam_size:
@@ -43,6 +45,7 @@ def main(argv=None):
         beam_size=opt.beam_size, nbest=opt.nbest,
         max_token_seq_len=opt.max_token_seq_len,
         save_result_file=opt.save_result_file,
+        quantize_weights=opt.quantize_weights,
     )
     return 0
 

@@ -76,6 +76,31 @@ def test_quantized_posteriors_agree():
     assert np.max(np.abs(np.asarray(logp_f) - np.asarray(logp_q))) < 0.2
 
 
+def test_quantized_decode_dataset(tmp_path):
+    """decode_dataset(quantize_weights=True): batch decoding through the
+    int8 tree writes a well-formed n-best file."""
+    from pytorch_kaldi_asr_tpu.data.loader import BatchLoader
+    from pytorch_kaldi_asr_tpu.decode.runner import decode_dataset
+
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    triples = [(f"u{i}", rng.normal(size=(10 + i, cfg.src_dim))
+                .astype(np.float32), [2, 4, 3]) for i in range(3)]
+    loader = BatchLoader(triples, 2, mode="all", shuffle=False)
+    vocab = {"<blank>": 0, "<unk>": 1, "<s>": 2, "</s>": 3, "aa": 4}
+    out = tmp_path / "decode.txt"
+    lines = decode_dataset(params, cfg, loader, vocab, beam_size=2,
+                           nbest=2, max_token_seq_len=6,
+                           save_result_file=str(out),
+                           quantize_weights=True)
+    text = out.read_text().strip().splitlines()
+    assert lines == len(text) == 3 * 2
+    for line in text:
+        key, score, _hyp = line.split("\t")
+        assert key.startswith("u") and np.isfinite(float(score))
+
+
 def test_quantized_recognizer_serves(tmp_path):
     """Recognizer(quantize_weights=True): search compiles with the int8
     tree (dequant inside jit), produces well-formed hypotheses, and the
