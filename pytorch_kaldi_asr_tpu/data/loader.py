@@ -75,6 +75,11 @@ class BatchLoader:
                friendly default; sequence-parallel training passes
                lcm(8, seq_shards) so every static shape divides evenly
                across the time shards).
+    frame_targets: targets are FRAME-ALIGNED with the features (hybrid AM
+               alignments, recipes/train_am.py) — tgt then pads to the
+               same static length as src, per batch, so per-frame losses
+               never see a src/tgt shape mismatch (token targets keep
+               their own independent tgt_pad).
     num_buckets: >1 groups utterances into length buckets, each padded to its
                own (fixed) length — K compiled shapes instead of padding the
                whole corpus to the global max (the XLA-friendly upgrade over
@@ -96,6 +101,7 @@ class BatchLoader:
         shuffle=True,
         num_buckets=1,
         pad_multiple=8,
+        frame_targets=False,
     ):
         if mode not in ("drop", "all"):
             raise ValueError("mode of BatchLoader can only be [all] or [drop]")
@@ -121,8 +127,13 @@ class BatchLoader:
             if self._feats is not None
             else [kaldi_io.mat_num_rows(r) for r in self.src_refs]
         )
+        self.frame_targets = frame_targets
         self.src_pad = src_pad or _round_up(max(src_lens), pad_multiple)
-        self.tgt_pad = tgt_pad or _round_up(max(len(l) for l in self.labels), 8)
+        if frame_targets:
+            self.tgt_pad = self.src_pad
+        else:
+            self.tgt_pad = tgt_pad or _round_up(
+                max(len(l) for l in self.labels), 8)
         self.feat_dim = (
             self._feats[0].shape[1]
             if self._feats is not None
@@ -200,7 +211,9 @@ class BatchLoader:
         src, src_mask = instances_handler.pad_to_longest(
             feats, src_pad or self.src_pad
         )
-        tgt, tgt_mask = instances_handler.pad_to_longest(labels, self.tgt_pad)
+        tgt_pad = (src_pad or self.src_pad) if self.frame_targets \
+            else self.tgt_pad
+        tgt, tgt_mask = instances_handler.pad_to_longest(labels, tgt_pad)
         valid = np.zeros(self.batch_size, dtype=np.uint8)
         valid[:n_valid] = 1
         return Batch(

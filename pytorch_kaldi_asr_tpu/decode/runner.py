@@ -56,24 +56,13 @@ def decode_dataset(params, cfg, loader, word2idx, *, beam_size, nbest,
         raise ValueError("nbest should not be larger than beam_size")
     search = _pick_search(cfg, use_cache)
     if quantize_weights:
-        import functools
-
-        import jax
-
         from pytorch_kaldi_asr_tpu.ops.quant import (
-            dequantize_tree,
             quantize_tree,
+            quantized_search_fn,
         )
 
         params, nq = quantize_tree(params)
-        base_search = search
-
-        @functools.partial(jax.jit,
-                           static_argnames=("cfg", "beam_size", "max_len"))
-        def search(p, cfg, src, mask, *, beam_size, max_len):
-            return base_search(dequantize_tree(p), cfg, src, mask,
-                               beam_size=beam_size, max_len=max_len)
-
+        search = quantized_search_fn(search)
         info("decoding with int8 weights (%d tensors quantized)", nq)
     idx2word = {index: word for word, index in word2idx.items()}
     lines = 0

@@ -78,6 +78,23 @@ def dequantize_tree(params, dtype=jnp.float32):
     )
 
 
+def quantized_search_fn(search):
+    """Wrap a beam-search function with the ``(params, cfg, src, src_mask,
+    *, beam_size, max_len)`` signature so it accepts a QUANTIZED tree,
+    dequantizing inside a fresh jit (the one place that owns the
+    static-argname contract — decode/runner.py and recipes/serve.py both
+    use this)."""
+    import functools
+
+    @functools.partial(jax.jit,
+                       static_argnames=("cfg", "beam_size", "max_len"))
+    def wrapped(params, cfg, src, src_mask, *, beam_size, max_len):
+        return search(dequantize_tree(params), cfg, src, src_mask,
+                      beam_size=beam_size, max_len=max_len)
+
+    return wrapped
+
+
 def tree_bytes(params):
     """Total parameter bytes (quantized leaves count their int8 + scale)."""
     total = 0

@@ -108,7 +108,12 @@ def start_job(log_file, command, job=None, host=None):
         log.write(f"# Running on {host}\n")
     log.write("# Started at " + time.ctime(start) + "\n#\n")
     log.flush()
-    proc = subprocess.Popen(command, stdout=log, stderr=subprocess.STDOUT)
+    try:
+        proc = subprocess.Popen(command, stdout=log,
+                                stderr=subprocess.STDOUT)
+    except Exception:
+        log.close()
+        raise
     return _RunningJob(proc, log, start, log_file, job)
 
 
@@ -168,11 +173,21 @@ def run_gang(log_file, command, jobs, *, hosts=None, retries=0,
     the last attempt."""
     attempt = resub = 0
     while True:
-        running = [
-            start_job(log_file, command, j,
-                      host=hosts[i % len(hosts)] if hosts else None)
-            for i, j in enumerate(jobs)
-        ]
+        running = []
+        try:
+            for i, j in enumerate(jobs):
+                running.append(start_job(
+                    log_file, command, j,
+                    host=hosts[i % len(hosts)] if hosts else None))
+        except Exception:
+            # a rank failed to even start: don't leave the earlier ranks
+            # running headless
+            for r in running:
+                r.proc.terminate()
+            for r in running:
+                r.proc.wait()
+                r.finish("Gang: killed, a later rank failed to start")
+            raise
         first_bad = None
         alive = list(running)
         while alive and first_bad is None:
@@ -201,14 +216,19 @@ def run_gang(log_file, command, jobs, *, hosts=None, retries=0,
             codes.append(r.finish(note if r in alive else None))
         if all(c == 0 for c in codes):
             return 0
-        bad = [c for c in codes if c != 0]
-        if all(c == PREEMPT_EXIT_CODE for c in bad):
+        # Classify (and report) by the INITIATING failure only: survivors
+        # the gang itself SIGTERM/SIGKILLed exit -15/-9, and counting
+        # those as plain failures would burn the retry budget on what was
+        # really a preemption (and mask the root-cause exit code).
+        cause = (first_bad.proc.returncode if first_bad
+                 else next(c for c in codes if c != 0))
+        if cause == PREEMPT_EXIT_CODE:
             if resub >= resubmits:
-                return bad[0]
+                return cause
             resub += 1
         else:
             if attempt >= retries:
-                return next(c for c in bad if c != PREEMPT_EXIT_CODE)
+                return cause
             attempt += 1
 
 

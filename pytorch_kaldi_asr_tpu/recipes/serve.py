@@ -111,29 +111,15 @@ class Recognizer:
             # int8-weight serving: store matmul weights as int8+scale and
             # dequantize INSIDE the jitted search (ops/quant.py) — 4x less
             # parameter HBM and per-step weight traffic, no model changes
-            import functools
-
-            import jax
-
             from pytorch_kaldi_asr_tpu.ops.quant import (
-                dequantize_tree,
                 quantize_tree,
+                quantized_search_fn,
                 tree_bytes,
             )
 
             before = tree_bytes(self.params)
             self.params, nq = quantize_tree(self.params)
-            base_search = self.search
-
-            @functools.partial(
-                jax.jit, static_argnames=("cfg", "beam_size", "max_len"))
-            def quantized_search(params, cfg, src, src_mask, *, beam_size,
-                                 max_len):
-                return base_search(dequantize_tree(params), cfg, src,
-                                   src_mask, beam_size=beam_size,
-                                   max_len=max_len)
-
-            self.search = quantized_search
+            self.search = quantized_search_fn(self.search)
             info("int8 weights: %d matmul tensors quantized, params "
                  "%.1f -> %.1f MB", nq, before / 1e6,
                  tree_bytes(self.params) / 1e6)
@@ -534,14 +520,19 @@ class HybridRecognizer:
         from pytorch_kaldi_asr_tpu.models.streaming import StreamingTDNN
 
         def apply_fn(p, c, buf, m, pos_offset=0):
-            if self.quantize_weights:
-                from pytorch_kaldi_asr_tpu.ops.quant import dequantize_tree
-
-                p = dequantize_tree(p)
             return am_log_posteriors(p, c, buf, m, pos_offset=pos_offset)
 
+        # The chunked forward is eager (buffer lengths vary per push, so a
+        # jit would recompile per shape): dequantize ONCE per stream here
+        # rather than rebuilding the float tree on every chunk.
+        stream_params = self.params
+        if self.quantize_weights:
+            from pytorch_kaldi_asr_tpu.ops.quant import dequantize_tree
+
+            stream_params = dequantize_tree(self.params)
+
         return _HybridStream(
-            StreamingTDNN(self.params, self.cfg, apply_fn),
+            StreamingTDNN(stream_params, self.cfg, apply_fn),
             StreamingLatgen(self.graph, beam=self.beam,
                             acoustic_scale=self.acoustic_scale,
                             max_active=self.max_active,

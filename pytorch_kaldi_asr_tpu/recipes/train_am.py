@@ -46,7 +46,8 @@ def am_batch_loader(data_dir, batch_size, mode="drop", **kw):
         triples.append((key, rx, ids))
     info("matched %d utterances with alignments in %s", len(triples),
          data_dir)
-    return BatchLoader(triples, batch_size, mode=mode, **kw)
+    return BatchLoader(triples, batch_size, mode=mode, frame_targets=True,
+                       **kw)
 
 
 def train_am(data_dir, dev_dir, save_dir, *, encoder_type="tdnnf",

@@ -88,12 +88,20 @@ def main(argv=None):
         with open(opt.topo, encoding="utf-8") as f:
             topo = parse_topo(f.read())
 
-    sil_ids = ({phone_syms[opt.sil_phone]}
-               if opt.sil_phone in (phone_syms or {}) else set())
+    if opt.sil_phone is not None and opt.sil_phone not in phone_syms:
+        raise SystemExit(
+            f"align_ctm: -sil_phone {opt.sil_phone!r} is not in the phone "
+            f"table {opt.phones} — silence handling would silently vanish "
+            "(check the symbol's exact spelling/case)")
+    sil_ids = {phone_syms[opt.sil_phone]} if opt.sil_phone else set()
     kind, path = opt.rspecifier.split(":", 1)
     reader = read_mat_scp(path) if kind == "scp" else read_mat_ark(path)
 
+    # Real corpora have near-unique transcripts, so an unbounded
+    # transcript-keyed cache is an OOM, not a cache — bound it FIFO.  The
+    # hit case that matters (repeated prompts, CI fixtures) still wins.
     graph_cache = {}
+    max_cache = 256
     aligned, failed = 0, 0
     alignments = {}
     lines = []
@@ -105,6 +113,8 @@ def main(argv=None):
             continue
         key = tuple(words)
         if key not in graph_cache:
+            if len(graph_cache) >= max_cache:
+                graph_cache.pop(next(iter(graph_cache)))
             try:
                 graph_cache[key] = align_graph(
                     words, lexicon, word_syms, phone_syms,
@@ -125,10 +135,14 @@ def main(argv=None):
             failed += 1
             continue
         aligned += 1
-        alignments[utt] = (ali, id2word)
-        lines.extend(ctm_from_alignment(
-            utt, ali, id2word, frame_rate=opt.frame_rate,
-            channel=opt.channel))
+        if opt.refine_ctm:
+            # per-frame alignments are only consumed by the refine pass;
+            # in plain mode keeping them would grow O(corpus frames)
+            alignments[utt] = (ali, id2word)
+        else:
+            lines.extend(ctm_from_alignment(
+                utt, ali, id2word, frame_rate=opt.frame_rate,
+                channel=opt.channel))
 
     if opt.refine_ctm:
         with open(opt.refine_ctm, encoding="utf-8") as f:

@@ -157,3 +157,25 @@ def test_align_ctm_cli_end_to_end(tmp_path):
     got = (tmp_path / "ref.ctm").read_text().splitlines()
     assert got == ["utt1 1 0.00 0.04 one 0.90",
                    "utt1 1 0.06 0.04 two 0.80"]
+
+
+def test_align_ctm_cli_rejects_unknown_sil_phone(tmp_path):
+    """A -sil_phone absent from the phone table must fail loudly up front
+    (previously: silent empty sil_ids, then a raw KeyError mid-corpus)."""
+    from pytorch_kaldi_asr_tpu.io import kaldi_io
+
+    (tmp_path / "lexicon.txt").write_text("one a b\n")
+    (tmp_path / "phones.txt").write_text("<eps> 0\na 1\nb 2\nsil 3\n")
+    (tmp_path / "text").write_text("utt1 one\n")
+    with kaldi_io.ArkWriter(str(tmp_path / "post.ark")) as w:
+        w.write("utt1", _posts([1, 2]).astype(np.float32))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytorch_kaldi_asr_tpu.tools.align_ctm",
+         "-lexicon", str(tmp_path / "lexicon.txt"),
+         "-phones", str(tmp_path / "phones.txt"),
+         "-text", str(tmp_path / "text"), "-sil_phone", "SIL",
+         f"ark:{tmp_path / 'post.ark'}", str(tmp_path / "out.ctm")],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode != 0
+    assert "not in the phone table" in proc.stderr

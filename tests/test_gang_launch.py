@@ -79,6 +79,25 @@ def test_gang_preemption_uses_resubmit_budget(tmp_path):
     assert rc == 1
 
 
+def test_gang_preempt_classified_by_initiating_rank(tmp_path, monkeypatch):
+    """A preempted rank (exit 75) whose SURVIVOR gets gang-killed (-15)
+    must still consume the resubmit budget, not retries: classification
+    keys off the initiating failure, not the launcher's own kill codes."""
+    monkeypatch.setattr(launch_mod, "GANG_KILL_GRACE", 3.0)
+    flag = tmp_path / "resumed"
+    code = launch_mod.PREEMPT_EXIT_CODE
+    script = _script(
+        tmp_path / "job.sh",
+        f'if [ ! -f {flag} ]; then\n'
+        f'  if [ "$1" = "1" ]; then touch {flag}; exit {code}; fi\n'
+        f'  sleep 60\n'  # survivor: must be killed, and its -15 ignored
+        f'fi\nexit 0\n')
+    rc = launch_mod.launch(
+        ["--gang", "--resubmit", "1", "JOB=1:2",
+         str(tmp_path / "log.JOB.txt"), "bash", script, "JOB"])
+    assert rc == 0  # retries budget was 0: only resubmit could save this
+
+
 def test_gang_requires_array():
     with pytest.raises(SystemExit, match="JOB=1:N"):
         launch_mod.launch(["--gang", "/tmp/log.txt", "true"])

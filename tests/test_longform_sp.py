@@ -105,6 +105,29 @@ def test_train_am_seq_shards_learns(tmp_path):
     assert cfg.encoder_max_len % 8 == 0
 
 
+def test_frame_targets_pad_together():
+    """frame_targets=True keeps tgt the same static length as src for ANY
+    pad_multiple (seq_shards like 3/5/6/12 give lcm(8, n) != 8, which used
+    to pad src to 112 but tgt to 104 and crash the first AM train step)."""
+    from pytorch_kaldi_asr_tpu.data.loader import BatchLoader
+
+    rng = np.random.default_rng(0)
+    triples = [
+        (f"u{i}", rng.normal(size=(97 + i, 4)).astype(np.float32),
+         np.zeros(97 + i, np.int32))
+        for i in range(4)
+    ]
+    ld = BatchLoader(triples, 2, pad_multiple=48, frame_targets=True)
+    assert ld.src_pad % 48 == 0
+    for batch in ld:
+        assert batch.src.shape[1] == batch.tgt.shape[1] == ld.src_pad
+    # bucketed: per-bucket pads apply to targets too
+    ld2 = BatchLoader(triples, 1, mode="all", num_buckets=2,
+                      frame_targets=True)
+    for batch in ld2:
+        assert batch.src.shape[1] == batch.tgt.shape[1]
+
+
 def test_train_am_seq_shards_over_devices_rejected(tmp_path):
     from pytorch_kaldi_asr_tpu.recipes.train_am import train_am
 
