@@ -24,6 +24,10 @@ clean_dir=${clean_dir:-true}
 # training job that many times; the trainer resumes from its preempt
 # checkpoint (-resume is implied)
 preempt_resubmits=${preempt_resubmits:-0}
+# neural-LM rescoring (the rnnlm_compute_scores role): train a causal
+# transformer LM in stage 2 and add an nlm-rescored scoring pass in stage 5
+nlm_rescore=${nlm_rescore:-false}
+nlm_epochs=${nlm_epochs:-20}
 # scaled-down knobs for smoke runs (export before calling)
 epochs=${epochs:-500}
 batch_size=${batch_size:-100}
@@ -91,6 +95,14 @@ if [ $stage -le 2 ]; then
     echo '[PROCEDURE] preparing language model (arpa).'
     python3 -m pytorch_kaldi_asr_tpu.recipes.train_lm \
         -text data/train${data_perfix}/text -order 3 -lm ${lang}/lm.3k.gz
+    if $nlm_rescore; then
+        echo '[PROCEDURE] training neural LM for rescoring.'
+        python3 -m pytorch_kaldi_asr_tpu.recipes.train_nlm \
+            -text data/train${data_perfix}/text \
+            -read_vocab_file ${lang}/vocab.txt \
+            -save_model_dir ${lang}/nlm \
+            -epoch $nlm_epochs || exit 1
+    fi
 fi
 
 #------------------------------------------------------------
@@ -191,18 +203,36 @@ if [ $stage -le 5 ]; then
             -lm_score ${decode_dir}/lm.3k.score.txt \
             -inv_weight_list 10,11,12,13,13.5,14,14.5,15,15.5,16,16.5,17,18,19,20,1000 \
             -save_dir ${decode_dir}/scoring > ${decode_dir}/scoring/scoring.log
+        if $nlm_rescore; then
+            echo '[PROCEDURE] neural-LM rescoring...'
+            python3 -m pytorch_kaldi_asr_tpu.recipes.score_lm \
+                -decode_file ${decode_dir}/decode.txt \
+                -nlm_model_dir ${lang}/nlm \
+                -read_vocab_file ${lang}/vocab.txt \
+                -save_score_file ${decode_dir}/nlm.score.txt || exit 1
+            mkdir -p ${decode_dir}/scoring_nlm
+            python3 -m pytorch_kaldi_asr_tpu.recipes.rescore \
+                -decode_file ${decode_dir}/decode.txt \
+                -lm_score ${decode_dir}/nlm.score.txt \
+                -inv_weight_list 10,12,14,16,18,20,1000 \
+                -save_dir ${decode_dir}/scoring_nlm \
+                >> ${decode_dir}/scoring/scoring.log || exit 1
+        fi
         echo '[INFO] computing WER...'
-        for rescore_file in $(ls ${decode_dir}/scoring | grep rescore | grep -v wer); do
-            python3 -m pytorch_kaldi_asr_tpu.tools.compute_wer --mode=present \
-                ark:${data_dir}/text ark:${decode_dir}/scoring/${rescore_file} \
-                > ${decode_dir}/scoring/${rescore_file}_wer
+        for scoring_dir in scoring scoring_nlm; do
+            [ -d ${decode_dir}/${scoring_dir} ] || continue
+            for rescore_file in $(ls ${decode_dir}/${scoring_dir} | grep rescore | grep -v wer); do
+                python3 -m pytorch_kaldi_asr_tpu.tools.compute_wer --mode=present \
+                    ark:${data_dir}/text ark:${decode_dir}/${scoring_dir}/${rescore_file} \
+                    > ${decode_dir}/${scoring_dir}/${rescore_file}_wer
+            done
         done
     done
 
     for dir in dev test; do
         decode_dir=${model_dir}/decode_${dir}
         echo '[INFO] best wer presented in file:' > $decode_dir/result.txt
-        python3 -m pytorch_kaldi_asr_tpu.tools.best_wer "${decode_dir}/scoring/*_wer" >> $decode_dir/result.txt
+        python3 -m pytorch_kaldi_asr_tpu.tools.best_wer "${decode_dir}/scoring*/*_wer" >> $decode_dir/result.txt
         cat $decode_dir/result.txt
     done
 fi
