@@ -47,14 +47,30 @@ def ids_to_words(ids, idx2word):
 
 def decode_dataset(params, cfg, loader, word2idx, *, beam_size, nbest,
                    max_token_seq_len, save_result_file, use_cache=True,
-                   quantize_weights=False):
+                   quantize_weights=False, fusion=None):
     """Decode every batch of ``loader`` (mode='all') and write the n-best
     file.  Returns the number of lines written.  ``quantize_weights``
     serves weight-only int8 (ops/quant.py): the stored tree is int8 +
-    per-channel scales, dequantized inside the jitted search."""
+    per-channel scales, dequantized inside the jitted search.  ``fusion``
+    = (lm_params, lm_cfg, lm_weight) decodes with per-step shallow fusion
+    instead (decode/fusion.py)."""
     if nbest > beam_size:
         raise ValueError("nbest should not be larger than beam_size")
-    search = _pick_search(cfg, use_cache)
+    if fusion is not None:
+        if quantize_weights:
+            raise ValueError(
+                "quantize_weights and shallow fusion are not composable "
+                "yet — pick one")
+        from pytorch_kaldi_asr_tpu.decode.fusion import fused_beam_search
+
+        lm_params, lm_cfg, lm_weight = fusion
+
+        def search(p, c, src, mask, *, beam_size, max_len):
+            return fused_beam_search(p, c, lm_params, lm_cfg, lm_weight,
+                                     src, mask, beam_size=beam_size,
+                                     max_len=max_len)
+    else:
+        search = _pick_search(cfg, use_cache)
     if quantize_weights:
         from pytorch_kaldi_asr_tpu.ops.quant import (
             quantize_tree,

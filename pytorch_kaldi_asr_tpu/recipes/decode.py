@@ -29,6 +29,12 @@ def main(argv=None):
                         help="accepted for recipe compatibility")
     parser.add_argument("-quantize_weights", action="store_true",
                         help="weight-only int8 decoding (ops/quant.py)")
+    parser.add_argument("-nlm_model_dir", default=None,
+                        help="neural LM checkpoint for per-step shallow "
+                             "fusion (decode/fusion.py); must share the "
+                             "recipe vocabulary")
+    parser.add_argument("-lm_weight", type=float, default=0.3,
+                        help="shallow-fusion LM weight")
     opt = parser.parse_args(argv)
 
     if opt.nbest > opt.beam_size:
@@ -40,12 +46,34 @@ def main(argv=None):
     loader = make_batch_loader(opt.read_data_dir, vocab, opt.batch_size,
                                mode="all", shuffle=False,
                                num_buckets=opt.num_buckets)
+    fusion = None
+    if opt.nlm_model_dir:
+        import jax
+
+        from pytorch_kaldi_asr_tpu.models.nlm import init_nlm
+        from pytorch_kaldi_asr_tpu.train.checkpoint import (
+            read_checkpoint_config,
+        )
+
+        lm_cfg, lm_meta = read_checkpoint_config(opt.nlm_model_dir)
+        if lm_meta.get("model_kind") != "nlm":
+            raise SystemExit(f"{opt.nlm_model_dir} is not a neural-LM "
+                             f"checkpoint")
+        lm_params = load_checkpoint(
+            opt.nlm_model_dir,
+            template_params=init_nlm(jax.random.PRNGKey(0), lm_cfg),
+        )["params"]
+        fusion = (lm_params, lm_cfg, opt.lm_weight)
+        info("shallow fusion: %s at weight %.2f", opt.nlm_model_dir,
+             opt.lm_weight)
+
     decode_dataset(
         ckpt["params"], ckpt["cfg"], loader, vocab,
         beam_size=opt.beam_size, nbest=opt.nbest,
         max_token_seq_len=opt.max_token_seq_len,
         save_result_file=opt.save_result_file,
         quantize_weights=opt.quantize_weights,
+        fusion=fusion,
     )
     return 0
 

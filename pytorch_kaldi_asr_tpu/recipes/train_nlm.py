@@ -60,6 +60,11 @@ def train_nlm(text_path, vocab_file, save_dir, *, epochs=20, batch_size=32,
         de_dropout=dropout,
         decoder_sub_sequence=(-max_len, 0),  # full causal lookback
         encoder_max_len=8,
+        # no length-1 LN skip: the NLM is a NEW model (no reference quirk
+        # to honor), and shallow fusion (decode/fusion.py) evaluates it
+        # one token at a time — the skip would make incremental scoring
+        # diverge from batch scoring
+        ln_skip_len1=False,
     )
     params = init_nlm(jax.random.PRNGKey(seed), cfg)
     tx = optax.chain(

@@ -1,0 +1,215 @@
+"""Shallow fusion (decode/fusion.py): neural LM inside the beam search."""
+
+import jax
+import numpy as np
+import pytest
+
+from pytorch_kaldi_asr_tpu.decode.fast_beam import fast_beam_search
+from pytorch_kaldi_asr_tpu.decode.fusion import fused_beam_search, nlm_step
+from pytorch_kaldi_asr_tpu.models import init_transformer
+from pytorch_kaldi_asr_tpu.models.nlm import (
+    init_nlm,
+    nlm_logits,
+    score_sentences,
+)
+from pytorch_kaldi_asr_tpu.models.transformer import TransformerConfig
+from tests.test_models import small_cfg
+
+
+def _lm_cfg(vocab=9, max_len=16):
+    return TransformerConfig(
+        src_dim=1, vocab_size=vocab, de_d_model=16, de_layers=2, n_head=2,
+        d_k=8, d_v=8, decoder_max_len=max_len,
+        decoder_sub_sequence=(-max_len, 0), de_dropout=0.0,
+        encoder_max_len=8, ln_skip_len1=False,
+    )
+
+
+def test_nlm_step_matches_batch_logits():
+    """Driving the incremental LM step over a fixed token sequence gives
+    the same per-position log-probs as the batch forward."""
+    import jax.numpy as jnp
+
+    from pytorch_kaldi_asr_tpu.models.common import (
+        position_encoding_table,
+    )
+
+    cfg = _lm_cfg()
+    params = init_nlm(jax.random.PRNGKey(0), cfg)
+    toks = np.array([[2, 4, 5, 6, 3]], np.int32)  # BOS a b c EOS
+    mask = np.ones_like(toks, np.uint8)
+    batch = np.asarray(jax.nn.log_softmax(
+        nlm_logits(params, cfg, jnp.asarray(toks), jnp.asarray(mask)), -1))
+
+    w = -cfg.decoder_sub_sequence[0]
+    caches = [{
+        "k": jnp.zeros((1, cfg.n_head, w, cfg.d_k)),
+        "v": jnp.zeros((1, cfg.n_head, w, cfg.d_v)),
+        "valid": jnp.zeros((1, w), bool),
+    } for _ in params["layers"]]
+    pos = position_encoding_table(cfg.decoder_max_len, cfg.de_d_model)
+    for t in range(toks.shape[1]):
+        lp, new_kv = nlm_step(params, cfg, jnp.asarray(toks[:, t]), t,
+                              caches, pos)
+        np.testing.assert_allclose(np.asarray(lp)[0], batch[0, t],
+                                   rtol=2e-5, atol=2e-5)
+        out = []
+        for cache, (k_t, v_t) in zip(caches, new_kv):
+            out.append({
+                "k": jnp.concatenate([cache["k"][:, :, 1:],
+                                      k_t[:, :, None, :]], axis=2),
+                "v": jnp.concatenate([cache["v"][:, :, 1:],
+                                      v_t[:, :, None, :]], axis=2),
+                "valid": jnp.concatenate([cache["valid"][:, 1:],
+                                          jnp.ones((1, 1), bool)], axis=1),
+            })
+        caches = out
+
+
+def test_fusion_weight_zero_equals_fast_beam():
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    lm_cfg = _lm_cfg(vocab=cfg.vocab_size)
+    lm_params = init_nlm(jax.random.PRNGKey(1), lm_cfg)
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(2, 12, cfg.src_dim)).astype(np.float32)
+    mask = np.ones((2, 12), np.uint8)
+
+    base = fast_beam_search(params, cfg, src, mask, beam_size=3, max_len=6)
+    fused = fused_beam_search(params, cfg, lm_params, lm_cfg, 0.0, src,
+                              mask, beam_size=3, max_len=6)
+    np.testing.assert_array_equal(np.asarray(base.tokens),
+                                  np.asarray(fused.tokens))
+    np.testing.assert_allclose(np.asarray(base.scores),
+                               np.asarray(fused.scores), rtol=1e-6)
+
+
+def test_fusion_weight_pulls_toward_lm():
+    """Raising lm_weight cannot DECREASE the LM score of the 1-best
+    hypothesis (up to beam-search noise — checked with a margin)."""
+    from pytorch_kaldi_asr_tpu.recipes.train_nlm import train_nlm
+
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    # LM trained to strongly prefer one word sequence
+    import tempfile
+
+    vocab = {"<blank>": 0, "<unk>": 1, "<s>": 2, "</s>": 3, "aa": 4,
+             "bb": 5, "cc": 6, "dd": 7, "ee": 8, "ff": 9, "gg": 10}
+    with tempfile.TemporaryDirectory() as d:
+        with open(f"{d}/vocab.txt", "w") as f:
+            for w, i in vocab.items():
+                f.write(f"{w} {i}\n")
+        with open(f"{d}/text", "w") as f:
+            for i in range(100):
+                f.write(f"utt{i} aa bb cc\n")
+        lm_params, lm_cfg, _ = train_nlm(
+            f"{d}/text", f"{d}/vocab.txt", f"{d}/nlm", epochs=6,
+            batch_size=32, d_model=16, layers=1, n_head=2, max_len=8,
+            dropout=0.0, lr=0.02)
+    assert lm_cfg.vocab_size == cfg.vocab_size
+
+    rng = np.random.default_rng(1)
+    src = rng.normal(size=(1, 10, cfg.src_dim)).astype(np.float32)
+    mask = np.ones((1, 10), np.uint8)
+
+    def best_tokens(weight):
+        from pytorch_kaldi_asr_tpu.decode.runner import nbest_from_result
+
+        r = fused_beam_search(params, cfg, lm_params, lm_cfg, weight, src,
+                              mask, beam_size=4, max_len=6)
+        seq, _score = nbest_from_result(r, 1)[0][0]
+        return [int(t) for t in seq[1:-1]]  # strip BOS + final token
+
+    def lm_score(words_ids):
+        id2w = {v: k for k, v in vocab.items()}
+        words = [id2w.get(i, "<unk>") for i in words_ids]
+        return score_sentences(lm_params, lm_cfg, [words], vocab,
+                               batch_size=1)[0]
+
+    s0 = lm_score(best_tokens(0.0))
+    s5 = lm_score(best_tokens(5.0))
+    assert s5 >= s0 - 1e-3, (s0, s5)
+    # with a dominant weight the 1-best is the LM's pet sequence
+    assert best_tokens(50.0)[:3] == [4, 5, 6]  # aa bb cc
+
+
+def test_decode_cli_with_fusion(tmp_path):
+    """recipes/decode.py -nlm_model_dir decodes a dataset with fusion and
+    writes the standard n-best file."""
+    import os
+    import subprocess
+    import sys
+
+    from pytorch_kaldi_asr_tpu.io import kaldi_io
+    from pytorch_kaldi_asr_tpu.recipes.train_nlm import train_nlm
+    from pytorch_kaldi_asr_tpu.train import save_checkpoint
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    vocab = {"<blank>": 0, "<unk>": 1, "<s>": 2, "</s>": 3, "aa": 4,
+             "bb": 5, "cc": 6, "dd": 7, "ee": 8, "ff": 9, "gg": 10}
+    with open(tmp_path / "vocab.txt", "w") as f:
+        for w, i in vocab.items():
+            f.write(f"{w} {i}\n")
+    with open(tmp_path / "text.lm", "w") as f:
+        for i in range(40):
+            f.write(f"utt{i} aa bb\n")
+    _p, _c, _ = train_nlm(str(tmp_path / "text.lm"),
+                          str(tmp_path / "vocab.txt"),
+                          str(tmp_path / "nlm"), epochs=2, batch_size=16,
+                          d_model=16, layers=1, n_head=2, max_len=8,
+                          dropout=0.0)
+
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    save_checkpoint(str(tmp_path / "model"), params, cfg, epoch=0)
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    data.mkdir()
+    with kaldi_io.ArkWriter(str(data / "feats.ark"),
+                            str(data / "feats.scp")) as w:
+        for i in range(3):
+            w.write(f"u{i}", rng.normal(size=(10, cfg.src_dim))
+                    .astype(np.float32))
+    with open(data / "text", "w") as f:
+        for i in range(3):
+            f.write(f"u{i} aa bb\n")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO + os.pathsep
+               + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytorch_kaldi_asr_tpu.recipes.decode",
+         "-read_data_dir", str(data),
+         "-read_vocab_file", str(tmp_path / "vocab.txt"),
+         "-load_model_file", str(tmp_path / "model"),
+         "-save_result_file", str(tmp_path / "decode.txt"),
+         "-max_token_seq_len", "6", "-batch_size", "2", "-beam_size", "3",
+         "-nbest", "2", "-num_buckets", "1",
+         "-nlm_model_dir", str(tmp_path / "nlm"), "-lm_weight", "0.5"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr + proc.stdout
+    lines = (tmp_path / "decode.txt").read_text().strip().splitlines()
+    assert len(lines) == 3 * 2
+    for line in lines:
+        key, score, _text = line.split("\t")
+        assert key.startswith("u") and np.isfinite(float(score))
+
+
+def test_fusion_rejects_bad_lm_config():
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    src = np.zeros((1, 8, cfg.src_dim), np.float32)
+    mask = np.ones((1, 8), np.uint8)
+
+    bad = _lm_cfg(vocab=cfg.vocab_size).replace(ln_skip_len1=True)
+    with pytest.raises(ValueError, match="ln_skip_len1"):
+        fused_beam_search(params, cfg, init_nlm(jax.random.PRNGKey(1), bad),
+                          bad, 0.5, src, mask, beam_size=2, max_len=4)
+    small_vocab = _lm_cfg(vocab=cfg.vocab_size - 2)
+    with pytest.raises(ValueError, match="vocabulary"):
+        fused_beam_search(params, cfg,
+                          init_nlm(jax.random.PRNGKey(1), small_vocab),
+                          small_vocab, 0.5, src, mask, beam_size=2,
+                          max_len=4)

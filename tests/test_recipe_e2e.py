@@ -34,6 +34,8 @@ def test_run_sh_stages_0_to_5(tmp_path):
         decoder_max_len="16",
         model_dir="exp/model_test",
         clean_dir="false",
+        nlm_rescore="true",  # stage-2 neural LM + stage-5 second pass
+        nlm_epochs="3",
     )
     # stage -1: synthesize the corpus
     subprocess.run(
@@ -59,11 +61,19 @@ def test_run_sh_stages_0_to_5(tmp_path):
     assert (model_dir / "model.init" / "params.msgpack").exists()
     combined = list(model_dir.glob("combined*"))
     assert combined, list(model_dir.iterdir())
+    assert (tmp_path / "data" / "language" / "nlm" /
+            "params.msgpack").exists()
     for split in ("dev", "test"):
         decode_dir = model_dir / f"decode_{split}"
         assert (decode_dir / "decode.txt").exists()
         result = (decode_dir / "result.txt").read_text()
         assert "%WER" in result, result
+        # neural-LM second scoring pass is line-aligned and WER-scored
+        nlm_scores = (decode_dir / "nlm.score.txt").read_text().splitlines()
+        nbest_lines = [ln for ln in (decode_dir / "decode.txt")
+                       .read_text().splitlines() if ln.strip()]
+        assert len(nlm_scores) == len(nbest_lines)
+        assert list((decode_dir / "scoring_nlm").glob("*_wer"))
     # vocab got the #0 disambig appended
     vocab = (tmp_path / "data" / "language" / "vocab.txt").read_text()
     assert "#0" in vocab.split()[-2]
