@@ -91,7 +91,8 @@ class Recognizer:
 
     def __init__(self, model_file, vocab_file, *, beam_size=8,
                  max_token_seq_len=None, buckets=DEFAULT_BUCKETS,
-                 use_cache=True, quantize_weights=False):
+                 use_cache=True, quantize_weights=False,
+                 nlm_model_dir=None, lm_weight=0.3):
         from pytorch_kaldi_asr_tpu.data import instances
         from pytorch_kaldi_asr_tpu.decode.runner import _pick_search
         from pytorch_kaldi_asr_tpu.train.checkpoint import load_checkpoint
@@ -106,6 +107,39 @@ class Recognizer:
         self.max_len = max_token_seq_len or self.cfg.decoder_max_len
         self.buckets = _clip_buckets(buckets, self.cfg.encoder_max_len)
         self.search = _pick_search(self.cfg, use_cache)
+        if nlm_model_dir:
+            # per-step shallow fusion in serving (decode/fusion.py)
+            if quantize_weights:
+                raise ValueError("quantize_weights and shallow fusion are "
+                                 "not composable yet — pick one")
+            import jax
+
+            from pytorch_kaldi_asr_tpu.decode.fusion import (
+                fused_beam_search,
+            )
+            from pytorch_kaldi_asr_tpu.models.nlm import init_nlm
+            from pytorch_kaldi_asr_tpu.train.checkpoint import (
+                read_checkpoint_config,
+            )
+
+            lm_cfg, lm_meta = read_checkpoint_config(nlm_model_dir)
+            if lm_meta.get("model_kind") != "nlm":
+                raise ValueError(f"{nlm_model_dir} is not a neural-LM "
+                                 "checkpoint")
+            lm_params = load_checkpoint(
+                nlm_model_dir,
+                template_params=init_nlm(jax.random.PRNGKey(0), lm_cfg),
+            )["params"]
+
+            def search(p, c, src, mask, *, beam_size, max_len):
+                return fused_beam_search(p, c, lm_params, lm_cfg,
+                                         lm_weight, src, mask,
+                                         beam_size=beam_size,
+                                         max_len=max_len)
+
+            self.search = search
+            info("serving with shallow fusion: %s at weight %.2f",
+                 nlm_model_dir, lm_weight)
         self.quantize_weights = quantize_weights
         if quantize_weights:
             # int8-weight serving: store matmul weights as int8+scale and
@@ -1079,12 +1113,19 @@ def main(argv=None):
                         help="serve int8 matmul weights (ops/quant.py): "
                              "4x less parameter HBM/traffic, dequantized "
                              "inside the jitted step")
+    parser.add_argument("-nlm_model_dir", default=None,
+                        help="neural LM for per-step shallow fusion "
+                             "(attention mode only)")
+    parser.add_argument("-lm_weight", type=float, default=0.3)
     parser.add_argument("-no_warmup", action="store_true")
     opt = parser.parse_args(argv)
 
     buckets = (tuple(int(b) for b in opt.buckets.split(","))
                if opt.buckets else DEFAULT_BUCKETS)
     if opt.graph_dir:
+        if opt.nlm_model_dir:
+            parser.error("-nlm_model_dir applies to the attention search; "
+                         "hybrid mode rescores via lattice tools instead")
         rec = HybridRecognizer(opt.read_model_file, opt.graph_dir,
                                beam=opt.beam, priors_file=opt.priors_file,
                                acoustic_scale=opt.acoustic_scale,
@@ -1097,7 +1138,9 @@ def main(argv=None):
                          beam_size=opt.beam_size,
                          max_token_seq_len=opt.max_token_seq_len,
                          buckets=buckets,
-                         quantize_weights=opt.quantize_weights)
+                         quantize_weights=opt.quantize_weights,
+                         nlm_model_dir=opt.nlm_model_dir,
+                         lm_weight=opt.lm_weight)
     if opt.max_batch > 1:
         rec = MicroBatcher(rec, max_batch=opt.max_batch,
                            window_ms=opt.batch_window_ms)

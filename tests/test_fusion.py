@@ -197,6 +197,47 @@ def test_decode_cli_with_fusion(tmp_path):
         assert key.startswith("u") and np.isfinite(float(score))
 
 
+def test_serving_with_fusion(tmp_path):
+    """Recognizer(nlm_model_dir=...): fused serving produces hypotheses;
+    at weight 0 they equal the unfused recognizer's."""
+    from pytorch_kaldi_asr_tpu.recipes import serve as serve_mod
+    from pytorch_kaldi_asr_tpu.recipes.train_nlm import train_nlm
+    from pytorch_kaldi_asr_tpu.train import save_checkpoint
+
+    vocab = {"<blank>": 0, "<unk>": 1, "<s>": 2, "</s>": 3, "aa": 4,
+             "bb": 5, "cc": 6, "dd": 7, "ee": 8, "ff": 9, "gg": 10}
+    with open(tmp_path / "vocab.txt", "w") as f:
+        for w, i in vocab.items():
+            f.write(f"{w} {i}\n")
+    with open(tmp_path / "text.lm", "w") as f:
+        for i in range(30):
+            f.write(f"utt{i} aa bb\n")
+    train_nlm(str(tmp_path / "text.lm"), str(tmp_path / "vocab.txt"),
+              str(tmp_path / "nlm"), epochs=2, batch_size=16, d_model=16,
+              layers=1, n_head=2, max_len=8, dropout=0.0)
+
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    save_checkpoint(str(tmp_path / "model"), params, cfg, epoch=0)
+
+    fused0 = serve_mod.Recognizer(
+        str(tmp_path / "model"), str(tmp_path / "vocab.txt"), beam_size=3,
+        buckets=(8,), nlm_model_dir=str(tmp_path / "nlm"), lm_weight=0.0)
+    plain = serve_mod.Recognizer(
+        str(tmp_path / "model"), str(tmp_path / "vocab.txt"), beam_size=3,
+        buckets=(8,))
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(6, cfg.src_dim)).astype(np.float32)
+    hyps_f, _ = fused0.recognize(feats, nbest=2)
+    hyps_p, _ = plain.recognize(feats, nbest=2)
+    assert [h[0] for h in hyps_f] == [h[0] for h in hyps_p]
+
+    with pytest.raises(ValueError, match="not composable"):
+        serve_mod.Recognizer(
+            str(tmp_path / "model"), str(tmp_path / "vocab.txt"),
+            nlm_model_dir=str(tmp_path / "nlm"), quantize_weights=True)
+
+
 def test_fusion_rejects_bad_lm_config():
     cfg = small_cfg()
     params = init_transformer(jax.random.PRNGKey(0), cfg)
