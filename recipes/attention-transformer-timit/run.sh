@@ -28,6 +28,10 @@ preempt_resubmits=${preempt_resubmits:-0}
 # transformer LM in stage 2 and add an nlm-rescored scoring pass in stage 5
 nlm_rescore=${nlm_rescore:-false}
 nlm_epochs=${nlm_epochs:-20}
+# per-step shallow fusion at decode time (decode/fusion.py; needs the
+# nlm_rescore-trained LM): the LM scores candidates INSIDE the beam search
+fusion_decode=${fusion_decode:-false}
+fusion_lm_weight=${fusion_lm_weight:-0.5}
 # scaled-down knobs for smoke runs (export before calling)
 epochs=${epochs:-500}
 batch_size=${batch_size:-100}
@@ -180,6 +184,10 @@ if [ $stage -le 5 ]; then
         decode_dir=${model_dir}/decode_${dir}
         mkdir -p ${decode_dir}
         data_dir=data/${dir}${data_perfix}_filtered
+        fusion_args=""
+        if $fusion_decode; then
+            fusion_args="-nlm_model_dir ${lang}/nlm -lm_weight ${fusion_lm_weight}"
+        fi
         $cuda_cmd ${decode_dir}/decode.log python3 -u -m pytorch_kaldi_asr_tpu.recipes.decode \
             -read_data_dir ${data_dir} \
             -read_vocab_file ${lang}/vocab.txt \
@@ -188,6 +196,7 @@ if [ $stage -le 5 ]; then
             -batch_size $decode_batch \
             -beam_size $beam_size \
             -nbest $nbest \
+            ${fusion_args} \
             -save_result_file ${decode_dir}/decode.txt || exit 1
 
         echo '[PROCEDURE] rescoring...'
