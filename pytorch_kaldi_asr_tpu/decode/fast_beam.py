@@ -97,6 +97,54 @@ def _decode_one(dec, cfg, tokens_t, t, self_caches, cross_k, cross_v,
     return logits, new_kv
 
 
+def empty_caches(n_layers, n, heads, window, d_k, d_v):
+    """Per-layer rolling K/V caches for ``n`` lanes with a ``window``-wide
+    band (shared by fast_beam_search and decode/fusion.py)."""
+    return [{
+        "k": jnp.zeros((n, heads, window, d_k)),
+        "v": jnp.zeros((n, heads, window, d_v)),
+        "valid": jnp.zeros((n, window), bool),
+    } for _ in range(n_layers)]
+
+
+def roll_caches(caches, new_kv, window):
+    """Shift each rolling cache left one slot and append this step's K/V.
+    window == 0 (band (0,0): each position attends only itself) keeps the
+    caches empty."""
+    if window == 0:
+        return caches
+    out = []
+    for cache, (k_t, v_t) in zip(caches, new_kv):
+        n = k_t.shape[0]
+        out.append({
+            "k": jnp.concatenate(
+                [cache["k"][:, :, 1:], k_t[:, :, None, :]], axis=2),
+            "v": jnp.concatenate(
+                [cache["v"][:, :, 1:], v_t[:, :, None, :]], axis=2),
+            "valid": jnp.concatenate(
+                [cache["valid"][:, 1:], jnp.ones((n, 1), bool)], axis=1),
+        })
+    return out
+
+
+def gather_beam_lanes(caches, parent, b, beam_size):
+    """Reorder lane-major pytrees by each batch row's parent lane."""
+    flat = (jnp.arange(b)[:, None] * beam_size + parent).reshape(-1)
+    return jax.tree_util.tree_map(lambda a: a[flat], caches)
+
+
+def project_cross_kv(dec, enc_proj, beam_size):
+    """Per-layer cross-attention K/V, projected once per utterance and
+    expanded across beam lanes."""
+    cross_k, cross_v = [], []
+    for layer in dec["layers"]:
+        ck = jnp.einsum("bsd,hdk->bhsk", enc_proj, layer["enc"]["w_ks"])
+        cv = jnp.einsum("bsd,hdv->bhsv", enc_proj, layer["enc"]["w_vs"])
+        cross_k.append(jnp.repeat(ck, beam_size, axis=0))  # [N, H, S, dk]
+        cross_v.append(jnp.repeat(cv, beam_size, axis=0))
+    return cross_k, cross_v
+
+
 @partial(jax.jit, static_argnames=("cfg", "beam_size", "max_len"))
 def fast_beam_search(params, cfg, src, src_mask, *, beam_size, max_len):
     """Cached beam search; same contract/result as ``beam_search``."""
@@ -112,30 +160,14 @@ def fast_beam_search(params, cfg, src, src_mask, *, beam_size, max_len):
 
     enc_output, src_mask_f = encode(params, cfg, src, src_mask, train=False)
     enc_proj = enc_output @ dec["enc_dec_proj"]["w"]  # [B, S, de_d]
-    s = enc_proj.shape[1]
 
-    # per-layer cross K/V, shared across beam lanes then expanded
-    cross_k, cross_v = [], []
-    for layer in dec["layers"]:
-        ck = jnp.einsum("bsd,hdk->bhsk", enc_proj, layer["enc"]["w_ks"])
-        cv = jnp.einsum("bsd,hdv->bhsv", enc_proj, layer["enc"]["w_vs"])
-        cross_k.append(
-            jnp.repeat(ck, beam_size, axis=0)
-        )  # [N, H, S, dk]
-        cross_v.append(jnp.repeat(cv, beam_size, axis=0))
+    cross_k, cross_v = project_cross_kv(dec, enc_proj, beam_size)
     src_valid = jnp.repeat(src_mask_f > 0, beam_size, axis=0)  # [N, S]
 
     pos_table = position_encoding_table(cfg.decoder_max_len, cfg.de_d_model)
-    h = cfg.n_head
 
-    def empty_cache():
-        return {
-            "k": jnp.zeros((n, h, window, cfg.d_k)),
-            "v": jnp.zeros((n, h, window, cfg.d_v)),
-            "valid": jnp.zeros((n, window), bool),
-        }
-
-    self_caches = [empty_cache() for _ in dec["layers"]]
+    self_caches = empty_caches(len(dec["layers"]), n, cfg.n_head, window,
+                               cfg.d_k, cfg.d_v)
 
     tokens = jnp.zeros((n, max_len + 1), jnp.int32).at[:, 0].set(constants.BOS)
     scores = jnp.full((b, beam_size), -jnp.inf, jnp.float32).at[:, 0].set(0.0)
@@ -143,27 +175,10 @@ def fast_beam_search(params, cfg, src, src_mask, *, beam_size, max_len):
     lengths = jnp.full((b, beam_size), max_len + 1, jnp.int32)
 
     def roll_in(caches, new_kv):
-        if window == 0:
-            # band (0, 0): each position attends only itself — no history
-            return caches
-        out = []
-        for cache, (k_t, v_t) in zip(caches, new_kv):
-            out.append({
-                "k": jnp.concatenate(
-                    [cache["k"][:, :, 1:], k_t[:, :, None, :]], axis=2
-                ),
-                "v": jnp.concatenate(
-                    [cache["v"][:, :, 1:], v_t[:, :, None, :]], axis=2
-                ),
-                "valid": jnp.concatenate(
-                    [cache["valid"][:, 1:], jnp.ones((n, 1), bool)], axis=1
-                ),
-            })
-        return out
+        return roll_caches(caches, new_kv, window)
 
     def gather_lanes(caches, parent):
-        flat = (jnp.arange(b)[:, None] * beam_size + parent).reshape(-1)
-        return jax.tree_util.tree_map(lambda a: a[flat], caches)
+        return gather_beam_lanes(caches, parent, b, beam_size)
 
     # ---- step 0.  The reference decodes a length-1 sequence here, where
     # layer norm is skipped — but ONLY for this step's logits: when later

@@ -31,13 +31,17 @@ from pytorch_kaldi_asr_tpu.decode.fast_beam import (
     _ffn_step,
     _mha_step,
     _project_heads,
+    empty_caches,
+    gather_beam_lanes,
+    project_cross_kv,
+    roll_caches,
 )
 from pytorch_kaldi_asr_tpu.models.common import position_encoding_table
 from pytorch_kaldi_asr_tpu.models.transformer import encode
 from pytorch_kaldi_asr_tpu.utils import constants
 
 
-def nlm_step(lm_params, lm_cfg, tokens_t, t, caches, pos_table):
+def nlm_step(lm_params, tokens_t, t, caches, pos_table):
     """One causal-LM step for all lanes: tokens_t [N] → (log-probs [N, V],
     new per-layer (k_t, v_t)).  ``caches``: per layer dict(k, v
     [N, H, W, d], valid [N, W]).  Matches models/nlm.py nlm_logits
@@ -78,6 +82,11 @@ def fused_beam_search(params, cfg, lm_params, lm_cfg, lm_weight, src,
         raise ValueError(
             "shallow fusion needs an NLM trained with ln_skip_len1=False "
             "(recipes/train_nlm.py default)")
+    if lm_cfg.decoder_sub_sequence[1] != 0:
+        raise ValueError(
+            "shallow fusion needs a CAUSAL LM band (decoder_sub_sequence "
+            "end=0): incremental scoring cannot see future tokens, so a "
+            "lookahead LM would silently diverge from its batch scores")
     if lm_cfg.vocab_size < cfg.vocab_size:
         raise ValueError("the LM vocabulary is smaller than the AM's")
     window = -cfg.decoder_sub_sequence[0]
@@ -90,31 +99,17 @@ def fused_beam_search(params, cfg, lm_params, lm_cfg, lm_weight, src,
 
     enc_output, src_mask_f = encode(params, cfg, src, src_mask, train=False)
     enc_proj = enc_output @ dec["enc_dec_proj"]["w"]
-    cross_k, cross_v = [], []
-    for layer in dec["layers"]:
-        ck = jnp.einsum("bsd,hdk->bhsk", enc_proj, layer["enc"]["w_ks"])
-        cv = jnp.einsum("bsd,hdv->bhsv", enc_proj, layer["enc"]["w_vs"])
-        cross_k.append(jnp.repeat(ck, beam_size, axis=0))
-        cross_v.append(jnp.repeat(cv, beam_size, axis=0))
+    cross_k, cross_v = project_cross_kv(dec, enc_proj, beam_size)
     src_valid = jnp.repeat(src_mask_f > 0, beam_size, axis=0)
 
     pos_table = position_encoding_table(cfg.decoder_max_len, cfg.de_d_model)
     lm_pos = position_encoding_table(
         max(lm_cfg.decoder_max_len, max_len), lm_cfg.de_d_model)
-    h = cfg.n_head
 
-    def empty_cache(heads, win, dk, dv):
-        return {
-            "k": jnp.zeros((n, heads, win, dk)),
-            "v": jnp.zeros((n, heads, win, dv)),
-            "valid": jnp.zeros((n, win), bool),
-        }
-
-    self_caches = [empty_cache(h, window, cfg.d_k, cfg.d_v)
-                   for _ in dec["layers"]]
-    lm_caches = [empty_cache(lm_cfg.n_head, lm_window, lm_cfg.d_k,
-                             lm_cfg.d_v)
-                 for _ in lm_params["layers"]]
+    self_caches = empty_caches(len(dec["layers"]), n, cfg.n_head, window,
+                               cfg.d_k, cfg.d_v)
+    lm_caches = empty_caches(len(lm_params["layers"]), n, lm_cfg.n_head,
+                             lm_window, lm_cfg.d_k, lm_cfg.d_v)
 
     tokens = jnp.zeros((n, max_len + 1), jnp.int32).at[:, 0].set(
         constants.BOS)
@@ -123,25 +118,10 @@ def fused_beam_search(params, cfg, lm_params, lm_cfg, lm_weight, src,
     finished = jnp.zeros((b, beam_size), bool)
     lengths = jnp.full((b, beam_size), max_len + 1, jnp.int32)
 
-    def roll_in(caches, new_kv, win):
-        if win == 0:
-            return caches
-        out = []
-        for cache, (k_t, v_t) in zip(caches, new_kv):
-            out.append({
-                "k": jnp.concatenate(
-                    [cache["k"][:, :, 1:], k_t[:, :, None, :]], axis=2),
-                "v": jnp.concatenate(
-                    [cache["v"][:, :, 1:], v_t[:, :, None, :]], axis=2),
-                "valid": jnp.concatenate(
-                    [cache["valid"][:, 1:], jnp.ones((n, 1), bool)],
-                    axis=1),
-            })
-        return out
+    roll_in = roll_caches
 
     def gather_lanes(caches, parent):
-        flat = (jnp.arange(b)[:, None] * beam_size + parent).reshape(-1)
-        return jax.tree_util.tree_map(lambda a: a[flat], caches)
+        return gather_beam_lanes(caches, parent, b, beam_size)
 
     def fused_word_lk(am_logits, lm_lp):
         am_lp = jax.nn.log_softmax(am_logits, axis=-1)
@@ -155,8 +135,8 @@ def fused_beam_search(params, cfg, lm_params, lm_cfg, lm_weight, src,
         logits0, _ = _decode_one(
             dec, cfg, tokens[:, 0], 0, self_caches, cross_k, cross_v,
             src_valid, pos_table, ln_skip=True)
-    lm_lp0, lm_new_kv = nlm_step(lm_params, lm_cfg, tokens[:, 0], 0,
-                                 lm_caches, lm_pos)
+    lm_lp0, lm_new_kv = nlm_step(lm_params, tokens[:, 0], 0, lm_caches,
+                                 lm_pos)
     state, parent = _advance((tokens, scores, finished, lengths),
                              fused_word_lk(logits0, lm_lp0), 0, beam_size,
                              vocab)
@@ -173,8 +153,7 @@ def fused_beam_search(params, cfg, lm_params, lm_cfg, lm_weight, src,
         logits, new_kv = _decode_one(
             dec, cfg, tok_t, t, caches, cross_k, cross_v, src_valid,
             pos_table, ln_skip=False)
-        lm_lp, lm_new_kv = nlm_step(lm_params, lm_cfg, tok_t, t, lmc,
-                                    lm_pos)
+        lm_lp, lm_new_kv = nlm_step(lm_params, tok_t, t, lmc, lm_pos)
         new_state, parent = _advance(state, fused_word_lk(logits, lm_lp),
                                      t, beam_size, vocab)
         caches = gather_lanes(roll_in(caches, new_kv, window), parent)

@@ -116,6 +116,27 @@ def sentence_logprobs(params, cfg, tokens, mask):
     return jnp.sum(ll * valid, axis=1) * LOG10_E
 
 
+def load_nlm(model_dir):
+    """Load-and-validate a neural-LM checkpoint (recipes/train_nlm.py):
+    returns (params, cfg, meta).  The single loading path for every CLI
+    (decode/serve/score_lm) so validation stays in one place."""
+    from pytorch_kaldi_asr_tpu.train.checkpoint import (
+        load_checkpoint,
+        read_checkpoint_config,
+    )
+
+    cfg, meta = read_checkpoint_config(model_dir)
+    if meta.get("model_kind") != "nlm":
+        raise ValueError(
+            f"{model_dir} is not a neural-LM checkpoint "
+            f"(model_kind={meta.get('model_kind')!r}); train one with "
+            "recipes/train_nlm.py")
+    params = load_checkpoint(
+        model_dir, template_params=init_nlm(jax.random.PRNGKey(0), cfg)
+    )["params"]
+    return params, cfg, meta
+
+
 def encode_sentences(sentences, word2idx, max_len):
     """[N, max_len] int32 [BOS ids EOS PAD*] + uint8 mask; sentences longer
     than max_len - 2 are truncated (UNK fallback for OOVs)."""
@@ -132,12 +153,31 @@ def encode_sentences(sentences, word2idx, max_len):
 
 def score_sentences(params, cfg, sentences, word2idx, *, batch_size=64):
     """log10 scores for a list of word-lists, order-preserving, in
-    fixed-shape batches (one compile)."""
+    fixed-shape batches (one compile).
+
+    The static width covers the LONGEST sentence, never truncating:
+    scoring a prefix and calling it p(sentence) would make long
+    hypotheses artificially cheap next to full-text n-gram scores in the
+    AM+LM rescoring combine.  Beyond decoder_max_len the sinusoid
+    positions extrapolate (closed-form) and the causal band still caps
+    attention reach — out-of-distribution but well-defined; a warning
+    flags it once."""
+    if not sentences:
+        return []
+    width = max(cfg.decoder_max_len, max(len(s) for s in sentences) + 2)
+    if width > cfg.decoder_max_len:
+        from pytorch_kaldi_asr_tpu.utils.logging import warning
+
+        warning(
+            "score_sentences: longest hypothesis (%d words) exceeds the "
+            "LM's trained length %d; positions extrapolate — consider "
+            "train_nlm -max_len >= decode max_token_seq_len",
+            width - 2, cfg.decoder_max_len)
     fn = jax.jit(lambda p, t, m: sentence_logprobs(p, cfg, t, m))
     out = []
     for i in range(0, len(sentences), batch_size):
         chunk = sentences[i : i + batch_size]
-        toks, mask = encode_sentences(chunk, word2idx, cfg.decoder_max_len)
+        toks, mask = encode_sentences(chunk, word2idx, width)
         if len(chunk) < batch_size:  # pad the tail batch to the same shape
             pad = batch_size - len(chunk)
             toks = np.concatenate([toks, np.zeros((pad, toks.shape[1]),

@@ -48,21 +48,9 @@ def main(argv=None):
                                num_buckets=opt.num_buckets)
     fusion = None
     if opt.nlm_model_dir:
-        import jax
+        from pytorch_kaldi_asr_tpu.models.nlm import load_nlm
 
-        from pytorch_kaldi_asr_tpu.models.nlm import init_nlm
-        from pytorch_kaldi_asr_tpu.train.checkpoint import (
-            read_checkpoint_config,
-        )
-
-        lm_cfg, lm_meta = read_checkpoint_config(opt.nlm_model_dir)
-        if lm_meta.get("model_kind") != "nlm":
-            raise SystemExit(f"{opt.nlm_model_dir} is not a neural-LM "
-                             f"checkpoint")
-        lm_params = load_checkpoint(
-            opt.nlm_model_dir,
-            template_params=init_nlm(jax.random.PRNGKey(0), lm_cfg),
-        )["params"]
+        lm_params, lm_cfg, _ = load_nlm(opt.nlm_model_dir)
         fusion = (lm_params, lm_cfg, opt.lm_weight)
         info("shallow fusion: %s at weight %.2f", opt.nlm_model_dir,
              opt.lm_weight)

@@ -51,26 +51,13 @@ def main(argv=None):
     if opt.nlm_model_dir:
         if not opt.read_vocab_file:
             parser.error("-nlm_model_dir needs -read_vocab_file")
-        import jax
-
         from pytorch_kaldi_asr_tpu.data.instances import read_vocab
         from pytorch_kaldi_asr_tpu.models.nlm import (
-            init_nlm,
+            load_nlm,
             score_sentences,
         )
-        from pytorch_kaldi_asr_tpu.train.checkpoint import (
-            load_checkpoint,
-            read_checkpoint_config,
-        )
 
-        cfg, meta = read_checkpoint_config(opt.nlm_model_dir)
-        if meta.get("model_kind") != "nlm":
-            raise SystemExit(
-                f"{opt.nlm_model_dir} is not a neural-LM checkpoint "
-                f"(model_kind={meta.get('model_kind')!r})")
-        template = init_nlm(jax.random.PRNGKey(0), cfg)
-        params = load_checkpoint(opt.nlm_model_dir,
-                                 template_params=template)["params"]
+        params, cfg, _meta = load_nlm(opt.nlm_model_dir)
         word2idx = read_vocab(opt.read_vocab_file)
         hyps = _read_hypotheses(opt.decode_file)
         scores = score_sentences(params, cfg, hyps, word2idx,

@@ -112,24 +112,12 @@ class Recognizer:
             if quantize_weights:
                 raise ValueError("quantize_weights and shallow fusion are "
                                  "not composable yet — pick one")
-            import jax
-
             from pytorch_kaldi_asr_tpu.decode.fusion import (
                 fused_beam_search,
             )
-            from pytorch_kaldi_asr_tpu.models.nlm import init_nlm
-            from pytorch_kaldi_asr_tpu.train.checkpoint import (
-                read_checkpoint_config,
-            )
+            from pytorch_kaldi_asr_tpu.models.nlm import load_nlm
 
-            lm_cfg, lm_meta = read_checkpoint_config(nlm_model_dir)
-            if lm_meta.get("model_kind") != "nlm":
-                raise ValueError(f"{nlm_model_dir} is not a neural-LM "
-                                 "checkpoint")
-            lm_params = load_checkpoint(
-                nlm_model_dir,
-                template_params=init_nlm(jax.random.PRNGKey(0), lm_cfg),
-            )["params"]
+            lm_params, lm_cfg, _ = load_nlm(nlm_model_dir)
 
             def search(p, c, src, mask, *, beam_size, max_len):
                 return fused_beam_search(p, c, lm_params, lm_cfg,

@@ -28,6 +28,9 @@ preempt_resubmits=${preempt_resubmits:-0}
 # transformer LM in stage 2 and add an nlm-rescored scoring pass in stage 5
 nlm_rescore=${nlm_rescore:-false}
 nlm_epochs=${nlm_epochs:-20}
+# the NLM must cover the longest decodable hypothesis (+BOS/EOS), for both
+# rescoring (no truncation) and fusion (no extrapolated positions)
+nlm_max_len=${nlm_max_len:-$((${max_token_seq_len:-100} + 2))}
 # per-step shallow fusion at decode time (decode/fusion.py; needs the
 # nlm_rescore-trained LM): the LM scores candidates INSIDE the beam search
 fusion_decode=${fusion_decode:-false}
@@ -47,6 +50,13 @@ encoder_max_len=${encoder_max_len:-500}
 decoder_max_len=${decoder_max_len:-100}
 lda_mat=${lda_mat:-data/lda.mat}
 encoder_type=${encoder_type:-tdnn}   # tdnn|banded|blstm|conformer|tdnnf
+
+# fail FAST, not after hours of training: fusion needs the stage-2 NLM
+if $fusion_decode && ! $nlm_rescore && [ ! -d ${lang}/nlm ]; then
+    echo '[ERROR] fusion_decode=true needs a neural LM: set nlm_rescore=true'
+    echo '        (trains it in stage 2) or provide '"${lang}"'/nlm.'
+    exit 1
+fi
 encoder_sub_sequence=${encoder_sub_sequence:-'(-100,0)'}
 decoder_sub_sequence=${decoder_sub_sequence:-'(-10,0)'}
 
@@ -105,6 +115,7 @@ if [ $stage -le 2 ]; then
             -text data/train${data_perfix}/text \
             -read_vocab_file ${lang}/vocab.txt \
             -save_model_dir ${lang}/nlm \
+            -max_len $nlm_max_len \
             -epoch $nlm_epochs || exit 1
     fi
 fi
@@ -206,6 +217,10 @@ if [ $stage -le 5 ]; then
             -save_score_file ${decode_dir}/lm.3k.score.txt
         echo '[INFO] language model score computed.'
 
+        # stale-result guard: a scoring_nlm/ left by a previous
+        # nlm_rescore=true run was built from the OLD decode.txt and
+        # would be re-WER-scored and scanned by best_wer below
+        rm -rf ${decode_dir}/scoring_nlm
         mkdir -p ${decode_dir}/scoring
         python3 -m pytorch_kaldi_asr_tpu.recipes.rescore \
             -decode_file ${decode_dir}/decode.txt \

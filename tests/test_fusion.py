@@ -49,8 +49,8 @@ def test_nlm_step_matches_batch_logits():
     } for _ in params["layers"]]
     pos = position_encoding_table(cfg.decoder_max_len, cfg.de_d_model)
     for t in range(toks.shape[1]):
-        lp, new_kv = nlm_step(params, cfg, jnp.asarray(toks[:, t]), t,
-                              caches, pos)
+        lp, new_kv = nlm_step(params, jnp.asarray(toks[:, t]), t, caches,
+                              pos)
         np.testing.assert_allclose(np.asarray(lp)[0], batch[0, t],
                                    rtol=2e-5, atol=2e-5)
         out = []

@@ -81,6 +81,21 @@ def test_nlm_scoring_batches_are_order_preserving(trained):
     np.testing.assert_allclose(one, alls, rtol=1e-5)
 
 
+def test_nlm_scoring_never_truncates_long_hypotheses(trained):
+    """A hypothesis longer than the LM's trained max_len must score ALL
+    its words (positions extrapolate): with the old prefix truncation the
+    long sentence scored the same as its truncated prefix, silently
+    biasing rescoring toward long hypotheses."""
+    from pytorch_kaldi_asr_tpu.models.nlm import score_sentences
+
+    _tmp, params, cfg, _ppl = trained
+    assert cfg.decoder_max_len == 8
+    prefix = ["the", "cat", "sat"]
+    long = prefix + ["the", "dog", "ran"] * 12  # 39 words >> max_len-2
+    s_prefix, s_long = score_sentences(params, cfg, [prefix, long], VOCAB)
+    assert s_long < s_prefix - 5.0  # every extra word scored, not dropped
+
+
 def test_score_lm_nlm_cli_line_aligned_and_rescorable(trained, tmp_path):
     tmp, _params, _cfg, _ppl = trained
     decode = tmp_path / "decode.txt"
