@@ -57,16 +57,23 @@ def decode_dataset(params, cfg, loader, word2idx, *, beam_size, nbest,
     if nbest > beam_size:
         raise ValueError("nbest should not be larger than beam_size")
     if fusion is not None:
-        if quantize_weights:
-            raise ValueError(
-                "quantize_weights and shallow fusion are not composable "
-                "yet — pick one")
         from pytorch_kaldi_asr_tpu.decode.fusion import fused_beam_search
 
         lm_params, lm_cfg, lm_weight = fusion
+        if quantize_weights:
+            # composes: the LM tree quantizes here and dequantizes inside
+            # the jit the quantized wrapper below adds
+            from pytorch_kaldi_asr_tpu.ops.quant import (
+                dequantize_tree,
+                quantize_tree,
+            )
+
+            lm_params, _ = quantize_tree(lm_params)
 
         def search(p, c, src, mask, *, beam_size, max_len):
-            return fused_beam_search(p, c, lm_params, lm_cfg, lm_weight,
+            lp = (dequantize_tree(lm_params) if quantize_weights
+                  else lm_params)
+            return fused_beam_search(p, c, lp, lm_cfg, lm_weight,
                                      src, mask, beam_size=beam_size,
                                      max_len=max_len)
     else:

@@ -108,19 +108,28 @@ class Recognizer:
         self.buckets = _clip_buckets(buckets, self.cfg.encoder_max_len)
         self.search = _pick_search(self.cfg, use_cache)
         if nlm_model_dir:
-            # per-step shallow fusion in serving (decode/fusion.py)
-            if quantize_weights:
-                raise ValueError("quantize_weights and shallow fusion are "
-                                 "not composable yet — pick one")
+            # per-step shallow fusion in serving (decode/fusion.py);
+            # composes with -quantize_weights below: the LM tree is
+            # quantized here and dequantized inside the jit that
+            # quantized_search_fn wraps around this closure
             from pytorch_kaldi_asr_tpu.decode.fusion import (
                 fused_beam_search,
             )
             from pytorch_kaldi_asr_tpu.models.nlm import load_nlm
 
             lm_params, lm_cfg, _ = load_nlm(nlm_model_dir)
+            if quantize_weights:
+                from pytorch_kaldi_asr_tpu.ops.quant import (
+                    dequantize_tree,
+                    quantize_tree,
+                )
+
+                lm_params, _ = quantize_tree(lm_params)
 
             def search(p, c, src, mask, *, beam_size, max_len):
-                return fused_beam_search(p, c, lm_params, lm_cfg,
+                lp = (dequantize_tree(lm_params) if quantize_weights
+                      else lm_params)
+                return fused_beam_search(p, c, lp, lm_cfg,
                                          lm_weight, src, mask,
                                          beam_size=beam_size,
                                          max_len=max_len)

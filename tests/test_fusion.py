@@ -232,10 +232,16 @@ def test_serving_with_fusion(tmp_path):
     hyps_p, _ = plain.recognize(feats, nbest=2)
     assert [h[0] for h in hyps_f] == [h[0] for h in hyps_p]
 
-    with pytest.raises(ValueError, match="not composable"):
-        serve_mod.Recognizer(
-            str(tmp_path / "model"), str(tmp_path / "vocab.txt"),
-            nlm_model_dir=str(tmp_path / "nlm"), quantize_weights=True)
+    # int8 + fusion compose: both trees stored quantized, dequantized
+    # inside the jitted fused search
+    q = serve_mod.Recognizer(
+        str(tmp_path / "model"), str(tmp_path / "vocab.txt"), beam_size=3,
+        buckets=(8,), nlm_model_dir=str(tmp_path / "nlm"), lm_weight=0.5,
+        quantize_weights=True)
+    hyps_q, decoded = q.recognize(feats, nbest=2)
+    assert decoded == 6 and hyps_q
+    for text, score in hyps_q:
+        assert isinstance(text, str) and np.isfinite(score)
 
 
 def test_fusion_rejects_bad_lm_config():

@@ -101,6 +101,39 @@ def test_quantized_decode_dataset(tmp_path):
         assert key.startswith("u") and np.isfinite(float(score))
 
 
+def test_quantized_decode_with_fusion(tmp_path):
+    """decode_dataset composes int8 weights with shallow fusion: both
+    trees quantized, dequantized inside the jitted fused search."""
+    from pytorch_kaldi_asr_tpu.data.loader import BatchLoader
+    from pytorch_kaldi_asr_tpu.decode.runner import decode_dataset
+    from pytorch_kaldi_asr_tpu.models.nlm import init_nlm
+    from pytorch_kaldi_asr_tpu.models.transformer import TransformerConfig
+
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    lm_cfg = TransformerConfig(
+        src_dim=1, vocab_size=cfg.vocab_size, de_d_model=16, de_layers=1,
+        n_head=2, d_k=8, d_v=8, decoder_max_len=16,
+        decoder_sub_sequence=(-16, 0), de_dropout=0.0, encoder_max_len=8,
+        ln_skip_len1=False,
+    )
+    lm_params = init_nlm(jax.random.PRNGKey(1), lm_cfg)
+    rng = np.random.default_rng(0)
+    triples = [("u0", rng.normal(size=(9, cfg.src_dim))
+                .astype(np.float32), [2, 4, 3])]
+    loader = BatchLoader(triples, 1, mode="all", shuffle=False)
+    vocab = {"<blank>": 0, "<unk>": 1, "<s>": 2, "</s>": 3, "aa": 4}
+    out = tmp_path / "decode.txt"
+    lines = decode_dataset(params, cfg, loader, vocab, beam_size=2,
+                           nbest=1, max_token_seq_len=5,
+                           save_result_file=str(out),
+                           quantize_weights=True,
+                           fusion=(lm_params, lm_cfg, 0.4))
+    assert lines == 1
+    key, score, _hyp = out.read_text().rstrip("\n").split("\t", 2)
+    assert key == "u0" and np.isfinite(float(score))
+
+
 def test_quantized_recognizer_serves(tmp_path):
     """Recognizer(quantize_weights=True): search compiles with the int8
     tree (dequant inside jit), produces well-formed hypotheses, and the
