@@ -197,6 +197,60 @@ def test_decode_cli_with_fusion(tmp_path):
         assert key.startswith("u") and np.isfinite(float(score))
 
 
+def test_sweep_fusion_cli(tmp_path):
+    """tools/sweep_fusion decodes at each weight, scores WER, and writes
+    the per-weight summary with a best line."""
+    import os
+
+    from pytorch_kaldi_asr_tpu.io import kaldi_io
+    from pytorch_kaldi_asr_tpu.recipes.train_nlm import train_nlm
+    from pytorch_kaldi_asr_tpu.tools import sweep_fusion
+    from pytorch_kaldi_asr_tpu.train import save_checkpoint
+
+    vocab = {"<blank>": 0, "<unk>": 1, "<s>": 2, "</s>": 3, "aa": 4,
+             "bb": 5, "cc": 6, "dd": 7, "ee": 8, "ff": 9, "gg": 10}
+    with open(tmp_path / "vocab.txt", "w") as f:
+        for w, i in vocab.items():
+            f.write(f"{w} {i}\n")
+    with open(tmp_path / "text.lm", "w") as f:
+        for i in range(30):
+            f.write(f"utt{i} aa bb\n")
+    train_nlm(str(tmp_path / "text.lm"), str(tmp_path / "vocab.txt"),
+              str(tmp_path / "nlm"), epochs=2, batch_size=16, d_model=16,
+              layers=1, n_head=2, max_len=8, dropout=0.0)
+
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    save_checkpoint(str(tmp_path / "model"), params, cfg, epoch=0)
+    data = tmp_path / "data"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    with kaldi_io.ArkWriter(str(data / "feats.ark"),
+                            str(data / "feats.scp")) as w:
+        for i in range(3):
+            w.write(f"u{i}", rng.normal(size=(10, cfg.src_dim))
+                    .astype(np.float32))
+    with open(data / "text", "w") as f:
+        for i in range(3):
+            f.write(f"u{i} aa bb\n")
+
+    rc = sweep_fusion.main([
+        "-read_data_dir", str(data),
+        "-read_vocab_file", str(tmp_path / "vocab.txt"),
+        "-load_model_file", str(tmp_path / "model"),
+        "-nlm_model_dir", str(tmp_path / "nlm"),
+        "-weights", "0,0.5", "-max_token_seq_len", "6",
+        "-batch_size", "2", "-beam_size", "3",
+        "-save_dir", str(tmp_path / "sweep"),
+    ])
+    assert rc == 0
+    summary = (tmp_path / "sweep" / "sweep.txt").read_text().splitlines()
+    assert len(summary) == 3  # two weights + best line
+    assert summary[-1].startswith("best\t")
+    assert os.path.exists(tmp_path / "sweep" / "decode_w0.txt")
+    assert os.path.exists(tmp_path / "sweep" / "decode_w0.5.txt")
+
+
 def test_serving_with_fusion(tmp_path):
     """Recognizer(nlm_model_dir=...): fused serving produces hypotheses;
     at weight 0 they equal the unfused recognizer's."""
