@@ -297,6 +297,13 @@ def test_serving_with_fusion(tmp_path):
     for text, score in hyps_q:
         assert isinstance(text, str) and np.isfinite(score)
 
+    # hot reload under fusion swaps the AM only (docs/SERVING.md) and
+    # keeps serving
+    meta = q.reload()
+    assert isinstance(meta, dict)
+    hyps_r, _ = q.recognize(feats, nbest=1)
+    assert hyps_r and np.isfinite(hyps_r[0][1])
+
 
 def test_fusion_rejects_bad_lm_config():
     cfg = small_cfg()
