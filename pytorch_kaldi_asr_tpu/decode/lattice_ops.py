@@ -103,46 +103,57 @@ def best_path(lat, **kw):
     return lat.best_path(**kw)
 
 
-def nbest(lat, n, *, acoustic_scale=1.0, lm_scale=1.0):
+def nbest(lat, n, *, acoustic_scale=1.0, lm_scale=1.0,
+          with_components=False):
     """lattice-nbest: the n lowest-cost DISTINCT word sequences, via
     best-first search with the exact backward cost as the A* heuristic.
-    Returns [(words, cost)] sorted by cost."""
+    Returns [(words, cost)] sorted by cost; with_components=True returns
+    [(words, cost, acoustic_cost, graph_cost)] where the components are
+    the UNSCALED per-hypothesis sums (final weights count as graph) —
+    what an external LM rescorer needs to replace the graph/LM part
+    (tools/lattice_rescore.py, the Kaldi lmrescore role)."""
     scaled = scale_lattice(lat, acoustic_scale=acoustic_scale,
                            lm_scale=lm_scale)
     _, beta = _forward_backward_costs(scaled)
     if not scaled.finals or beta[0] == math.inf:
         return []
     out = scaled.out_links()
+    raw_out = lat.out_links()  # unscaled components, same link order
     results = []
     seen = set()
-    # heap entries: (f = g + beta[node], tiebreak, node, g, words);
+    # heap entries: (f = g + beta[node], tiebreak, node, g, words, am, gr)
     # node=None marks a finished hypothesis whose f is its exact cost.
     # Finishing is an explicit transition (not recorded at first visit of
     # a final node) because a final node may still continue to a cheaper
     # final through epsilon links.
     counter = 0
-    heap = [(beta[0], counter, 0, 0.0, ())]
+    heap = [(beta[0], counter, 0, 0.0, (), 0.0, 0.0)]
     # bounded expansion: each pop is on an exact heuristic so the first n
     # distinct finished word-sequences popped are optimal
     max_pops = 200 * max(n, 1) * max(scaled.num_nodes, 1)
     pops = 0
     while heap and len(results) < n and pops < max_pops:
-        f, _, node, g, words = heapq.heappop(heap)
+        f, _, node, g, words, am, gr = heapq.heappop(heap)
         pops += 1
         if node is None:  # finished hypothesis, f == exact cost
             if words not in seen:
                 seen.add(words)
-                results.append((list(words), f))
+                if with_components:
+                    results.append((list(words), f, am, gr))
+                else:
+                    results.append((list(words), f))
             continue
         fw = scaled.finals.get(node)
         if fw is not None and words not in seen:
             counter += 1
-            heapq.heappush(heap, (g + fw, counter, None, g, words))
-        for l in out[node]:
+            heapq.heappush(heap, (g + fw, counter, None, g, words, am,
+                                  gr + lat.finals.get(node, 0.0)))
+        for l, rl in zip(out[node], raw_out[node]):
             w2 = words if l.word in _EPS_WORDS else words + (l.word,)
             g2 = g + l.cost
             counter += 1
-            heapq.heappush(heap, (g2 + beta[l.end], counter, l.end, g2, w2))
+            heapq.heappush(heap, (g2 + beta[l.end], counter, l.end, g2,
+                                  w2, am + rl.acoustic, gr + rl.graph))
     if heap and len(results) < n and pops >= max_pops:
         # search gave up, not "lattice exhausted" — callers must be able
         # to tell the difference
