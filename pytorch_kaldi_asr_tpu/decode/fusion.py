@@ -41,6 +41,47 @@ from pytorch_kaldi_asr_tpu.models.transformer import encode
 from pytorch_kaldi_asr_tpu.utils import constants
 
 
+def make_fused_search(lm_params, lm_cfg, lm_weight, *, quantize=False):
+    """Build a ``(params, cfg, src, src_mask, *, beam_size, max_len)``
+    search running :func:`fused_beam_search` — the one wiring point for
+    recipes/serve.py and decode/runner.py.
+
+    ``quantize=True`` composes with int8 serving: BOTH trees ride the jit
+    as TRACED arguments (the caller passes its quantized AM tree), so the
+    int8 weights live in HBM once and dequantize inside the step.
+    Closure-capturing a quantized tree instead would bake it into every
+    compiled (bucket, beam) executable as constants, which XLA constant-
+    folds into full float copies — more HBM than not quantizing."""
+    if not quantize:
+        def search(p, c, src, src_mask, *, beam_size, max_len):
+            return fused_beam_search(p, c, lm_params, lm_cfg, lm_weight,
+                                     src, src_mask, beam_size=beam_size,
+                                     max_len=max_len)
+
+        return search
+
+    from pytorch_kaldi_asr_tpu.ops.quant import (
+        dequantize_tree,
+        quantize_tree,
+    )
+
+    lm_q, _ = quantize_tree(lm_params)
+    lm_q = jax.tree_util.tree_map(jnp.asarray, lm_q)  # device-resident
+
+    @partial(jax.jit, static_argnames=("cfg", "beam_size", "max_len"))
+    def _jit(params_q, lm_arg, cfg, src, src_mask, *, beam_size, max_len):
+        return fused_beam_search(
+            dequantize_tree(params_q), cfg, dequantize_tree(lm_arg),
+            lm_cfg, lm_weight, src, src_mask, beam_size=beam_size,
+            max_len=max_len)
+
+    def search(p, c, src, src_mask, *, beam_size, max_len):
+        return _jit(p, lm_q, c, src, src_mask, beam_size=beam_size,
+                    max_len=max_len)
+
+    return search
+
+
 def nlm_step(lm_params, tokens_t, t, caches, pos_table):
     """One causal-LM step for all lanes: tokens_t [N] → (log-probs [N, V],
     new per-layer (k_t, v_t)).  ``caches``: per layer dict(k, v

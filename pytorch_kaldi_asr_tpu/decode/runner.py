@@ -57,25 +57,11 @@ def decode_dataset(params, cfg, loader, word2idx, *, beam_size, nbest,
     if nbest > beam_size:
         raise ValueError("nbest should not be larger than beam_size")
     if fusion is not None:
-        from pytorch_kaldi_asr_tpu.decode.fusion import fused_beam_search
+        from pytorch_kaldi_asr_tpu.decode.fusion import make_fused_search
 
         lm_params, lm_cfg, lm_weight = fusion
-        if quantize_weights:
-            # composes: the LM tree quantizes here and dequantizes inside
-            # the jit the quantized wrapper below adds
-            from pytorch_kaldi_asr_tpu.ops.quant import (
-                dequantize_tree,
-                quantize_tree,
-            )
-
-            lm_params, _ = quantize_tree(lm_params)
-
-        def search(p, c, src, mask, *, beam_size, max_len):
-            lp = (dequantize_tree(lm_params) if quantize_weights
-                  else lm_params)
-            return fused_beam_search(p, c, lp, lm_cfg, lm_weight,
-                                     src, mask, beam_size=beam_size,
-                                     max_len=max_len)
+        search = make_fused_search(lm_params, lm_cfg, lm_weight,
+                                   quantize=quantize_weights)
     else:
         search = _pick_search(cfg, use_cache)
     if quantize_weights:
@@ -85,7 +71,9 @@ def decode_dataset(params, cfg, loader, word2idx, *, beam_size, nbest,
         )
 
         params, nq = quantize_tree(params)
-        search = quantized_search_fn(search)
+        if fusion is None:
+            # make_fused_search already owns the dequantizing jit
+            search = quantized_search_fn(search)
         info("decoding with int8 weights (%d tensors quantized)", nq)
     idx2word = {index: word for word, index in word2idx.items()}
     lines = 0

@@ -107,34 +107,20 @@ class Recognizer:
         self.max_len = max_token_seq_len or self.cfg.decoder_max_len
         self.buckets = _clip_buckets(buckets, self.cfg.encoder_max_len)
         self.search = _pick_search(self.cfg, use_cache)
+        fused = False
         if nlm_model_dir:
             # per-step shallow fusion in serving (decode/fusion.py);
-            # composes with -quantize_weights below: the LM tree is
-            # quantized here and dequantized inside the jit that
-            # quantized_search_fn wraps around this closure
+            # composes with -quantize_weights: make_fused_search traces
+            # BOTH int8 trees through one jit
             from pytorch_kaldi_asr_tpu.decode.fusion import (
-                fused_beam_search,
+                make_fused_search,
             )
             from pytorch_kaldi_asr_tpu.models.nlm import load_nlm
 
             lm_params, lm_cfg, _ = load_nlm(nlm_model_dir)
-            if quantize_weights:
-                from pytorch_kaldi_asr_tpu.ops.quant import (
-                    dequantize_tree,
-                    quantize_tree,
-                )
-
-                lm_params, _ = quantize_tree(lm_params)
-
-            def search(p, c, src, mask, *, beam_size, max_len):
-                lp = (dequantize_tree(lm_params) if quantize_weights
-                      else lm_params)
-                return fused_beam_search(p, c, lp, lm_cfg,
-                                         lm_weight, src, mask,
-                                         beam_size=beam_size,
-                                         max_len=max_len)
-
-            self.search = search
+            self.search = make_fused_search(lm_params, lm_cfg, lm_weight,
+                                            quantize=quantize_weights)
+            fused = True
             info("serving with shallow fusion: %s at weight %.2f",
                  nlm_model_dir, lm_weight)
         self.quantize_weights = quantize_weights
@@ -150,7 +136,9 @@ class Recognizer:
 
             before = tree_bytes(self.params)
             self.params, nq = quantize_tree(self.params)
-            self.search = quantized_search_fn(self.search)
+            if not fused:
+                # make_fused_search already owns the dequantizing jit
+                self.search = quantized_search_fn(self.search)
             info("int8 weights: %d matmul tensors quantized, params "
                  "%.1f -> %.1f MB", nq, before / 1e6,
                  tree_bytes(self.params) / 1e6)

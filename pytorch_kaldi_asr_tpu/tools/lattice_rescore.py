@@ -98,15 +98,32 @@ def main(argv=None):
         def lm_costs(seqs):
             return [-arpa.sentence_logprob(seq)[0] * LN10 for seq in seqs]
 
+    # Pass 1: extract every lattice's n-best.  Extraction ranks at the
+    # RESCORING acoustic scale (Kaldi lmrescore semantics) — ranking at
+    # unit scales would bias the candidate set and could drop the true
+    # argmin of the rescored objective; the returned components stay raw.
+    per_utt = []  # (utt, hyps)
+    for key, lat in read_lattices(opt.rspecifier, word2id):
+        utt = lat.utt or key
+        per_utt.append((utt, nbest(lat, opt.n,
+                                   acoustic_scale=opt.acoustic_scale,
+                                   with_components=True)))
+
+    # Pass 2: ONE LM scoring call over all hypotheses of all utterances
+    # (per-utterance calls would re-jit the neural scorer per lattice)
+    all_seqs = [words for _utt, hyps in per_utt
+                for words, *_ in hyps]
+    all_costs = lm_costs(all_seqs) if all_seqs else []
+
     n_done = 0
+    pos = 0
     with open(opt.out, "w", encoding="utf-8") as f:
-        for key, lat in read_lattices(opt.rspecifier, word2id):
-            utt = lat.utt or key
-            hyps = nbest(lat, opt.n, with_components=True)
+        for utt, hyps in per_utt:
             if not hyps:
                 f.write(f"{utt}\n")
                 continue
-            costs = lm_costs([words for words, *_ in hyps])
+            costs = all_costs[pos : pos + len(hyps)]
+            pos += len(hyps)
             best_words, _cost = rescore_hyps(
                 hyps, costs, acoustic_scale=opt.acoustic_scale,
                 graph_scale=opt.graph_scale, lm_scale=opt.lm_scale)[0]

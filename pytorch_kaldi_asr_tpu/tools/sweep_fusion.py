@@ -31,15 +31,13 @@ from pytorch_kaldi_asr_tpu.utils.logging import info
 
 
 def one_best_table(nbest_path):
-    """First hypothesis per key from a ``key\\tscore\\ttext`` n-best file."""
-    table = {}
-    with open(nbest_path, encoding="utf-8") as f:
-        for line in f:
-            if not line.strip():
-                continue
-            key, _score, text = line.rstrip("\n").split("\t", 2)
-            table.setdefault(key, text.split())
-    return table
+    """First hypothesis per key from a ``key\\tscore\\ttext`` n-best file
+    (score/rescore.py read_nbest owns the format parsing)."""
+    from pytorch_kaldi_asr_tpu.score.rescore import read_nbest
+
+    table = read_nbest(nbest_path)
+    return {key: texts[0].split() for key, (_am, _lm, texts)
+            in table.items()}
 
 
 def main(argv=None):
