@@ -20,6 +20,39 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_FILE = os.path.join(REPO, "BASELINE_empirical.json")
 
+
+def _require_live_backend(timeout_s=120):
+    """Fail LOUDLY (one JSON error line) if the accelerator never answers.
+
+    The axon tunnel rides a relay process whose death makes
+    ``jax.devices()`` block forever — a silent driver timeout with no
+    record of why.  Probe device init on a watchdog thread and emit a
+    diagnosable JSON line instead of hanging."""
+    import threading
+
+    result = {}
+
+    def probe():
+        import jax
+
+        result["devices"] = [str(d) for d in jax.devices()]
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(json.dumps({
+            "metric": "am_train_throughput",
+            "value": 0.0,
+            "unit": "frames/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"accelerator init did not answer within {timeout_s}s "
+                     "(axon tunnel relay dead? check "
+                     "`ps aux | grep tpu_init`)",
+        }))
+        sys.exit(2)
+    return result["devices"]
+
 # recipe scale (reference run.sh:105-112): batch 100; length cap 500 frames
 BATCH = 100
 SRC_LEN = 500  # the recipe's hard length cap (run.sh:30-35)
@@ -313,6 +346,7 @@ def get_baseline():
 
 
 def main():
+    _require_live_backend()
     value = measure_jax()
     baseline = get_baseline()
     model = os.environ.get("BENCH_MODEL", "tdnn")
