@@ -61,7 +61,7 @@ SRC_DIM = 40
 VOCAB = 52
 
 
-def _flagship_setup(encoder_type=None):
+def _flagship_setup(encoder_type=None, stream_bf16=None):
     import jax
 
     from pytorch_kaldi_asr_tpu.models import TransformerConfig, init_transformer
@@ -69,8 +69,10 @@ def _flagship_setup(encoder_type=None):
     import jax.numpy as jnp
 
     encoder_type = encoder_type or os.environ.get("BENCH_MODEL", "tdnn")
+    if stream_bf16 is None:
+        stream_bf16 = os.environ.get("BENCH_STREAM", "") == "bf16"
     extra = {}
-    if os.environ.get("BENCH_STREAM", "") == "bf16":
+    if stream_bf16:
         extra["conformer_stream_dtype"] = jnp.bfloat16
     cfg = TransformerConfig(
         src_dim=SRC_DIM, vocab_size=VOCAB, compute_dtype=jnp.bfloat16,
@@ -89,7 +91,7 @@ def _flagship_setup(encoder_type=None):
     return cfg, params, (src, src_mask, tgt, tgt_mask)
 
 
-def measure_jax(steps=30, warmup=3):
+def measure_jax(steps=30, warmup=3, encoder_type=None, stream_bf16=None):
     # NOTE on methodology: the axon TPU backend is a network tunnel where
     # block_until_ready does not actually block; synchronization must be a
     # host transfer.  Steps are data-dependent (the train state threads
@@ -100,7 +102,8 @@ def measure_jax(steps=30, warmup=3):
 
     from pytorch_kaldi_asr_tpu.train import create_train_state, make_train_step
 
-    cfg, params, (src, src_mask, tgt, tgt_mask) = _flagship_setup()
+    cfg, params, (src, src_mask, tgt, tgt_mask) = _flagship_setup(
+        encoder_type, stream_bf16)
     state, tx = create_train_state(params)
     train_step = make_train_step(cfg, tx)
     src, src_mask, tgt, tgt_mask = jax.device_put(
@@ -281,16 +284,20 @@ _PEAKS = {
 }
 
 
-def measure_mfu():
+def measure_mfu(encoder_type=None, fps=None, stream_bf16=None):
     """Model-FLOPs utilization + HBM-bandwidth utilization of the jitted
     train step, from the compiled executable's cost analysis and the
     measured step time (the roofline numbers BASELINE.md's
-    'speed-of-light' target is judged against)."""
+    'speed-of-light' target is judged against).  ``encoder_type`` selects
+    the model (tdnn flagship / conformer / banded / blstm); pass a
+    pre-measured ``fps`` to reuse a throughput number instead of
+    re-timing."""
     import jax
 
     from pytorch_kaldi_asr_tpu.train import create_train_state, make_train_step
 
-    cfg, params, (src, src_mask, tgt, tgt_mask) = _flagship_setup()
+    cfg, params, (src, src_mask, tgt, tgt_mask) = _flagship_setup(
+        encoder_type, stream_bf16)
     state, tx = create_train_state(params)
     step = make_train_step(cfg, tx)
     src, src_mask, tgt, tgt_mask = jax.device_put((src, src_mask, tgt,
@@ -307,7 +314,9 @@ def measure_mfu():
     except Exception:
         return None
 
-    fps = measure_jax(steps=20)
+    if fps is None:
+        fps = measure_jax(steps=20, encoder_type=encoder_type,
+                          stream_bf16=stream_bf16)
     step_time = BATCH * SRC_LEN / max(fps, 1e-9)
     kind = jax.devices()[0].device_kind
     peak_flops, peak_bw = None, None
@@ -325,6 +334,107 @@ def measure_mfu():
         out["mfu"] = round(flops / step_time / (peak_flops * 1e12), 4)
         out["hbm_util"] = round(nbytes / step_time / (peak_bw * 1e9), 4)
     return out
+
+
+def measure_decode_and_int8(batch=8, frames=500, beam=25, max_len=100,
+                            steps=3):
+    """Beam-25 decode RTF (float) and the int8 weight-only latency delta:
+    (int8_ms - float_ms) / float_ms on the identical KV-cached search.
+    Negative delta = int8 is faster (it should be: 4x less weight traffic
+    on a bandwidth-bound decode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_kaldi_asr_tpu.decode.fast_beam import fast_beam_search
+    from pytorch_kaldi_asr_tpu.models import TransformerConfig, init_transformer
+    from pytorch_kaldi_asr_tpu.ops.quant import quantize_tree, quantized_search_fn
+
+    cfg = TransformerConfig(src_dim=SRC_DIM, vocab_size=VOCAB)
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.normal(size=(batch, frames, SRC_DIM))
+                      .astype(np.float32))
+    mask = jnp.ones((batch, frames), jnp.uint8)
+    audio_sec = batch * frames * 0.01
+
+    def timed(search, p):
+        r = search(p, cfg, src, mask, beam_size=beam, max_len=max_len)
+        float(r.scores[0, 0])  # compile + sync
+        t0 = time.perf_counter()
+        rtt = float(jnp.zeros((), jnp.float32))  # noqa: F841
+        t_rtt = time.perf_counter() - t0
+        x = src
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            r = search(p, cfg, x, mask, beam_size=beam, max_len=max_len)
+            x = src + r.scores[0, 0] * 0.0  # chain for the tunnel
+        float(r.scores[0, 0])
+        return max(time.perf_counter() - t0 - t_rtt, 1e-9) / steps
+
+    float_s = timed(fast_beam_search, params)
+    q_params, _ = quantize_tree(params)
+    q_params = jax.device_put(q_params)
+    int8_s = timed(quantized_search_fn(fast_beam_search), q_params)
+    return {
+        "decode_rtf": round(float_s / audio_sec, 6),
+        "int8_decode_rtf": round(int8_s / audio_sec, 6),
+        "int8_latency_delta": round((int8_s - float_s) / float_s, 4),
+    }
+
+
+def _hybrid_bench_setup(n_words=200, n_phones=40, n_sents=400, seed=0):
+    """Synthetic lexicon + bigram LM -> compiled HLG-style graph, plus
+    peaked log-posteriors along a random in-grammar phone path (the
+    realistic pruning regime; uniform posteriors would defeat the beam)."""
+    from pytorch_kaldi_asr_tpu.fst.graph import mkgraph
+    from pytorch_kaldi_asr_tpu.lm.ngram import train_ngram_lm
+
+    rng = np.random.default_rng(seed)
+    phones = {f"p{i}": i + 1 for i in range(n_phones)}
+    phone_names = list(phones)
+    lexicon = {
+        f"w{i}": [phone_names[j] for j in
+                  rng.integers(0, n_phones, size=rng.integers(3, 7))]
+        for i in range(n_words)
+    }
+    words = sorted(lexicon)
+    word_syms = {w: i + 1 for i, w in enumerate(words)}
+    sents = [[words[j] for j in rng.integers(0, n_words,
+                                             size=rng.integers(3, 9))]
+             for _ in range(n_sents)]
+    lm = train_ngram_lm(sents, order=2)
+    graph, ph_ext = mkgraph(lexicon, lm, word_syms, phones)
+
+    # peaked posteriors along a random word sequence's phone path
+    path = []
+    for w in [words[j] for j in rng.integers(0, n_words, size=12)]:
+        for ph in lexicon[w]:
+            path.extend([phones[ph]] * int(rng.integers(2, 5)))
+    T = len(path)
+    logits = rng.normal(size=(T, n_phones)).astype(np.float64)
+    logits[np.arange(T), np.asarray(path) - 1] += 6.0
+    log_posts = logits - np.log(np.exp(logits).sum(1, keepdims=True))
+    return graph, log_posts
+
+
+def measure_hybrid_rtf(beam=16.0, max_active=2000, repeats=3):
+    """Hybrid-path graph-search RTF: frame-synchronous Viterbi over a
+    compiled graph, HOST-side (the role Kaldi's C++ decoders play for the
+    reference).  Uses the production latgen entry point, which dispatches
+    to the native C++ core when built.  No accelerator involved."""
+    from pytorch_kaldi_asr_tpu.decode.latgen import latgen
+
+    graph, log_posts = _hybrid_bench_setup()
+    audio_sec = log_posts.shape[0] * 0.01
+    res = latgen(graph, log_posts, beam=beam, max_active=max_active)  # warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = latgen(graph, log_posts, beam=beam, max_active=max_active)
+        best = min(best, time.perf_counter() - t0)
+    assert res is not None, "hybrid bench decode died (graph/posterior bug)"
+    return {"hybrid_rtf": round(best / audio_sec, 6),
+            "hybrid_frames_per_sec": round(log_posts.shape[0] / best, 1)}
 
 
 def get_baseline():
@@ -374,11 +484,43 @@ def main():
         except Exception as e:  # never fail the headline number
             record["e2e_error"] = repr(e)[:200]
         try:
-            roofline = measure_mfu()
+            roofline = measure_mfu(fps=value)
             if roofline:
                 record.update(roofline)
         except Exception as e:
             record["mfu_error"] = repr(e)[:200]
+    # every headline claim rides in the SAME driver-captured JSON line
+    # (BENCH_FULL=0 opts out if a driver timeout ever bites)
+    if model == "tdnn" and os.environ.get("BENCH_FULL", "1") != "0":
+        def _sub(name, fn):
+            try:
+                out = fn()
+                if isinstance(out, dict):
+                    record.update(out)
+                else:
+                    record[name] = out
+            except Exception as e:
+                record[f"{name}_error"] = repr(e)[:200]
+            print(f"[bench] {name} done", file=sys.stderr)
+
+        def _conformer():
+            fps = measure_jax(steps=10, encoder_type="conformer",
+                              stream_bf16=True)
+            out = {"conformer_frames_per_sec": round(fps, 1)}
+            roof = measure_mfu(encoder_type="conformer", fps=fps,
+                               stream_bf16=True)
+            if roof:
+                out.update({
+                    "conformer_mfu": roof.get("mfu"),
+                    "conformer_hbm_util": roof.get("hbm_util"),
+                    "conformer_step_time_ms": roof.get("step_time_ms"),
+                    "conformer_step_flops": roof.get("step_flops"),
+                })
+            return out
+
+        _sub("conformer", _conformer)
+        _sub("decode_int8", measure_decode_and_int8)
+        _sub("hybrid", measure_hybrid_rtf)
     print(json.dumps(record))
 
 
