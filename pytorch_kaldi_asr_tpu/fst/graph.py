@@ -141,6 +141,72 @@ def lexicon_fst(lexicon, word_syms, phone_syms, *, sil_phone=None,
     return f, phone_syms_ext
 
 
+def lexicon_fst_silprob(lexicon, silprobs, word_syms, phone_syms, *,
+                        sil_phone="sil", sil_disambig="#s"):
+    """Build L with WORD-DEPENDENT silence probabilities (the reference
+    kaldi/utils/make_lexicon_fst_silprob.pl:1-146 contract).
+
+    lexicon: {word: [(pron_prob, word_sil_prob, sil_word_correction,
+    nonsil_word_correction, [phones]), ...]} — per pronunciation, the
+    probability of silence FOLLOWING the word plus the Bayes correction
+    factors for silence/non-silence PRECEDING it.
+    silprobs: {"<s>": p_sil_after_bos, "</s>_s": end-after-sil correction,
+    "</s>_n": end-after-nonsil correction}.
+
+    Returns (L, phone_syms_ext) where phone_syms_ext adds ``sil_disambig``
+    (the silence-path disambiguator) and a '#0' passthrough like
+    :func:`lexicon_fst`.  Topology: distinct 'after-silence' and
+    'after-non-silence' loop states so each word's entry cost conditions
+    on whether silence preceded it."""
+    def cost(p):
+        return -math.log(max(float(p), 1e-10))
+
+    phone_syms_ext = dict(phone_syms)
+    next_id = max(phone_syms_ext.values()) + 1 if phone_syms_ext else 1
+    for sym in (sil_disambig, "#0"):
+        if sym not in phone_syms_ext:
+            phone_syms_ext[sym] = next_id
+            next_id += 1
+
+    f = Fst()
+    start = f.add_state()
+    nonsil = f.add_state()  # "a non-silence word just ended"
+    sil = f.add_state()     # "silence just ended"
+    f.start = start
+    sil_id = phone_syms_ext[sil_phone]
+    dis_id = phone_syms_ext[sil_disambig]
+    f.add_arc(start, sil_id, EPS, cost(silprobs["<s>"]), sil)
+    f.add_arc(start, dis_id, EPS, cost(1.0 - float(silprobs["<s>"])), nonsil)
+
+    for word, prons in lexicon.items():
+        if word not in word_syms:
+            continue
+        for pron_prob, wsp, silc, nonsilc, phones in prons:
+            pron_cost = cost(pron_prob)
+            cur = None
+            for i, ph in enumerate(phones):
+                il = phone_syms_ext[ph]
+                if i == 0:
+                    nxt = f.add_state()
+                    f.add_arc(nonsil, il, word_syms[word],
+                              cost(nonsilc) + pron_cost, nxt)
+                    f.add_arc(sil, il, word_syms[word],
+                              cost(silc) + pron_cost, nxt)
+                else:
+                    nxt = f.add_state()
+                    f.add_arc(cur, il, EPS, 0.0, nxt)
+                cur = nxt
+            # word end: silence follows with prob wsp, else the disambig
+            f.add_arc(cur, dis_id, EPS, cost(1.0 - float(wsp)), nonsil)
+            f.add_arc(cur, sil_id, EPS, cost(wsp), sil)
+    if "#0" in word_syms:
+        for loop in (nonsil, sil):
+            f.add_arc(loop, phone_syms_ext["#0"], word_syms["#0"], 0.0, loop)
+    f.set_final(sil, cost(silprobs["</s>_s"]))
+    f.set_final(nonsil, cost(silprobs["</s>_n"]))
+    return f, phone_syms_ext
+
+
 def grammar_fst(lm: NgramLM, word_syms, *, disambig_symbol="#0") -> Fst:
     """Build G as an Fst from a backoff NgramLM: states are histories, word
     arcs carry -ln p, backoff arcs are input-#0/output-eps, </s> mass

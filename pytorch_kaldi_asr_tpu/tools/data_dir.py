@@ -191,22 +191,91 @@ def subset_data_dir(src, dst, *, n=None, keys=None, first=False, seed=0):
     return dst
 
 
-def split_data_dir(src, num_splits, out_base=None):
+def filter_scps(key_lists, table):
+    """Batch filter_scp over N key sets in one pass (the
+    utils/filter_scps.pl JOB=1:N role): returns a list of filtered
+    sub-tables, one per key set."""
+    sets = [set(keys) for keys in key_lists]
+    return [{k: v for k, v in table.items() if k in s} for s in sets]
+
+
+def split_scp_per_speaker(keys, utt2spk, num_splits):
+    """Split utterance keys into num_splits chunks that COINCIDE WITH
+    SPEAKER BOUNDARIES, balancing utterance counts (the
+    utils/split_scp.pl --utt2spk contract, reference
+    kaldi/utils/split_scp.pl:84-174): speakers are blocked contiguously
+    in order of first appearance, allocated ~evenly, then boundary
+    speakers are reassigned to the neighbor chunk while that reduces the
+    absolute count difference (monotone, so it terminates).  Raises if
+    there are fewer speakers than splits."""
+    spk_order, spk_utts = [], {}
+    for u in keys:
+        s = utt2spk[u]
+        if s not in spk_utts:
+            spk_order.append(s)
+            spk_utts[s] = []
+        spk_utts[s].append(u)
+    if len(spk_order) < num_splits:
+        raise ValueError(
+            f"refusing to split: {len(spk_order)} speakers < "
+            f"{num_splits} splits (utils/split_scp.pl semantics)")
+    assign = [[] for _ in range(num_splits)]
+    counts = [0] * num_splits
+    for i, s in enumerate(spk_order):
+        j = i * num_splits // len(spk_order)
+        assign[j].append(s)
+        counts[j] += len(spk_utts[s])
+    changed = True
+    while changed:
+        changed = False
+        for j in range(num_splits):
+            if j < num_splits - 1 and assign[j]:
+                s = assign[j][-1]
+                c = len(spk_utts[s])
+                if abs((counts[j + 1] + c) - (counts[j] - c)) < abs(
+                        counts[j + 1] - counts[j]):
+                    assign[j].pop()
+                    assign[j + 1].insert(0, s)
+                    counts[j] -= c
+                    counts[j + 1] += c
+                    changed = True
+            if j > 0 and assign[j]:
+                s = assign[j][0]
+                c = len(spk_utts[s])
+                if abs((counts[j] - c) - (counts[j - 1] + c)) < abs(
+                        counts[j] - counts[j - 1]):
+                    assign[j].pop(0)
+                    assign[j - 1].append(s)
+                    counts[j] -= c
+                    counts[j - 1] += c
+                    changed = True
+    return [[u for s in chunk for u in spk_utts[s]] for chunk in assign]
+
+
+def split_data_dir(src, num_splits, out_base=None, *, per_utt=False):
     """utils/split_data.sh: split into N key-disjoint shards
-    ``<src>/split<N>/<i>`` (speaker boundaries not preserved; shards are
-    contiguous in sorted-key order like split_scp.pl's default)."""
+    ``<src>/split<N>/<i>``.  Default splits PER SPEAKER (each speaker's
+    utterances land in exactly one shard, balanced by utterance count —
+    reference kaldi/utils/split_data.sh:18-21 + split_scp.pl --utt2spk);
+    ``per_utt=True`` (the --per-utt flag) ignores speakers and shards
+    contiguously in sorted-key order."""
     out_base = out_base or os.path.join(src, f"split{num_splits}")
     feats = read_table(os.path.join(src, "feats.scp"))
     keys = sorted(feats)
-    # contiguous split (like split_scp.pl), not strided:
-    shards = []
-    per = len(keys) // num_splits
-    extra = len(keys) % num_splits
-    start = 0
-    for i in range(num_splits):
-        size = per + (1 if i < extra else 0)
-        shards.append(keys[start : start + size])
-        start += size
+    utt2spk_path = os.path.join(src, "utt2spk")
+    if not per_utt and os.path.exists(utt2spk_path):
+        shards = split_scp_per_speaker(keys, read_table(utt2spk_path),
+                                       num_splits)
+    else:
+        # contiguous split (like split_scp.pl's default), not strided:
+        shards = []
+        per = len(keys) // num_splits
+        extra = len(keys) % num_splits
+        start = 0
+        for i in range(num_splits):
+            size = per + (1 if i < extra else 0)
+            shards.append(keys[start : start + size])
+            start += size
     dirs = []
     for i, shard in enumerate(shards, start=1):
         d = os.path.join(out_base, str(i))

@@ -276,3 +276,48 @@ def test_streaming_latgen_compaction_preserves_result():
     assert math.isclose(got[2], ref[2], rel_tol=1e-9)
     # the arena really was kept small
     assert len(dec.tracebacks) < 40 * posts.shape[0]
+
+
+def test_lexicon_fst_silprob_paths_and_costs():
+    """Word-dependent silence probabilities (make_lexicon_fst_silprob.pl):
+    the best path picks the silence-context combination with the lowest
+    total -log cost, and every cost component lands where the contract
+    says."""
+    from pytorch_kaldi_asr_tpu.fst.core import Fst
+    from pytorch_kaldi_asr_tpu.fst.graph import lexicon_fst_silprob
+
+    phones = {"sil": 1, "h": 2, "i": 3}
+    word_syms = {"hi": 1}
+    # pron_prob=1, P(sil after)=0.8, sil-before corr=1.2, nonsil corr=0.9
+    lexicon = {"hi": [(1.0, 0.8, 1.2, 0.9, ["h", "i"])]}
+    silprobs = {"<s>": 0.7, "</s>_s": 1.1, "</s>_n": 0.95}
+    L, ph_ext = lexicon_fst_silprob(lexicon, silprobs, word_syms, phones,
+                                    sil_phone="sil", sil_disambig="#s")
+    assert "#s" in ph_ext and ph_ext["#s"] not in phones.values()
+
+    sil, h, i = phones["sil"], phones["h"], phones["i"]
+    # the unconstrained best path is pure silence: begin-sil + end-after-sil
+    ilabs, olabs, w = ops.shortest_path(L)
+    assert (ilabs, olabs) == ([sil], [])
+    assert abs(w - -(math.log(0.7) + math.log(1.1))) < 1e-9
+
+    # constrain the output to exactly one 'hi': best route is then
+    # sil h i sil (silence on both sides beats the 0.1/0.2-prob skips)
+    G = Fst()
+    s0, s1 = G.add_state(), G.add_state()
+    G.start = s0
+    G.add_arc(s0, word_syms["hi"], word_syms["hi"], 0.0, s1)
+    G.set_final(s1, 0.0)
+    ilabs, olabs, w = ops.shortest_path(ops.compose(L, G))
+    assert ilabs == [sil, h, i, sil]
+    assert olabs == [word_syms["hi"]]
+    expect = -(math.log(0.7) + math.log(1.2) + math.log(0.8) + math.log(1.1))
+    assert abs(w - expect) < 1e-9
+
+    # force the no-silence route by removing the silence arcs' advantage:
+    # its cost is the complement products
+    costs = []
+    for a in L.arcs[L.start]:
+        costs.append((a.ilabel, a.weight))
+    nosil_entry = dict(costs)[ph_ext["#s"]]
+    assert abs(nosil_entry - (-math.log(1 - 0.7))) < 1e-9

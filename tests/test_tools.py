@@ -57,7 +57,9 @@ def test_subset_split_combine(tmp_path):
     sub = dd.subset_data_dir(d, str(tmp_path / "sub"), n=4, first=True)
     assert len(dd.read_table(os.path.join(sub, "feats.scp"))) == 4
 
-    splits = dd.split_data_dir(d, 3)
+    # only 2 speakers here, so per-speaker (the default) can't make 3
+    # shards; --per-utt ignores speakers (utils/split_data.sh --per-utt)
+    splits = dd.split_data_dir(d, 3, per_utt=True)
     sizes = [len(dd.read_table(os.path.join(s, "feats.scp")))
              for s in splits]
     assert sum(sizes) == 10 and max(sizes) - min(sizes) <= 1
@@ -467,3 +469,73 @@ def test_launcher_resubmit_budget_separate_from_retries(tmp_path):
         retries=9, resubmits=2)
     assert code == PREEMPT_EXIT_CODE
     assert counter.read_text().count("x") == 3  # 1 + 2 resubmits
+
+
+def test_split_data_dir_per_speaker(tmp_path):
+    """Default split keeps each speaker in exactly one shard and balances
+    utterance counts (utils/split_data.sh + split_scp.pl --utt2spk)."""
+    d = str(tmp_path / "data")
+    # 5 speakers with lopsided utterance counts: 6+1+1+3+3 = 14 utts
+    sizes = {"a": 6, "b": 1, "c": 1, "d": 3, "e": 3}
+    keys = [f"{s}-u{i}" for s in sizes for i in range(sizes[s])]
+    _make_dir(d, sorted(keys), spk_of=lambda k: k.split("-")[0])
+    dirs = dd.split_data_dir(d, 3)
+    seen = {}
+    counts = []
+    for i, sub in enumerate(dirs):
+        u2s = dd.read_table(os.path.join(sub, "utt2spk"))
+        counts.append(len(u2s))
+        for spk in u2s.values():
+            assert seen.setdefault(spk, i) == i, "speaker crosses shards"
+    assert sum(counts) == len(keys)
+    assert set(seen) == set(sizes)
+    assert max(counts) - min(counts) <= max(sizes.values())
+    # per_utt mode ignores speakers and splits contiguously
+    dirs = dd.split_data_dir(d, 3, str(tmp_path / "per_utt"), per_utt=True)
+    ns = [len(dd.read_table(os.path.join(s, "feats.scp"))) for s in dirs]
+    assert sum(ns) == len(keys) and max(ns) - min(ns) <= 1
+
+
+def test_split_per_speaker_refuses_too_few_speakers(tmp_path):
+    d = str(tmp_path / "data")
+    _make_dir(d, ["u1", "u2", "u3"], spk_of=lambda k: "onespk")
+    with pytest.raises(ValueError, match="speakers"):
+        dd.split_data_dir(d, 2)
+
+
+def test_filter_scps_batch():
+    table = {f"u{i}": str(i) for i in range(6)}
+    parts = dd.filter_scps([["u0", "u3"], ["u1"], ["u5", "nope"]], table)
+    assert parts == [{"u0": "0", "u3": "3"}, {"u1": "1"}, {"u5": "5"}]
+
+
+def test_convert_and_fix_ctm(tmp_path):
+    """convert_ctm.pl's own embedded test vector + fix_ctm padding."""
+    from pytorch_kaldi_asr_tpu.tools import ctm
+
+    seg = tmp_path / "segments"
+    seg.write_text("utt reco 10.0 20.0\n")
+    r2f = tmp_path / "reco2file_and_channel"
+    r2f.write_text("reco file A\n")
+    out = list(ctm.convert_ctm(
+        ["utt 1 8.0 1.0 word 0.5"],
+        ctm.read_segments(str(seg)),
+        ctm.read_reco2file_and_channel(str(r2f)),
+    ))
+    assert out == ["file A 18.00 1.00 word 0.5"]
+    # unknown utterance: raise, unless skip_unknown
+    with pytest.raises(KeyError):
+        list(ctm.convert_ctm(["ghost 1 0.0 1.0 w"],
+                             ctm.read_segments(str(seg)),
+                             ctm.read_reco2file_and_channel(str(r2f))))
+
+    stm = tmp_path / "ref.stm"
+    stm.write_text("seg1 A spk 0 5 hello\nseg2 A spk 0 5 there\n")
+    hyp = tmp_path / "hyp.ctm"
+    hyp.write_text("seg1 A 0.0 1.0 hello\n")
+    assert ctm.fix_ctm(str(stm), str(hyp))
+    lines = hyp.read_text().splitlines()
+    assert "seg2 1 0 0 EMPTY_RECOGNIZED_PHRASE" in lines
+    # CTM naming unknown segments is the failure case
+    hyp.write_text("rogue A 0.0 1.0 hi\n")
+    assert not ctm.fix_ctm(str(stm), str(hyp))
