@@ -518,9 +518,19 @@ def main():
                 })
             return out
 
+        def _streaming():
+            from pytorch_kaldi_asr_tpu.tools.bench_rtf import (
+                bench_streaming_conformer,
+            )
+
+            r = bench_streaming_conformer(frames=200, steps=2)
+            return {"streaming_conformer_rtf": r["value"],
+                    "streaming_push_ms_p50": r["push_ms_p50"]}
+
         _sub("conformer", _conformer)
         _sub("decode_int8", measure_decode_and_int8)
         _sub("hybrid", measure_hybrid_rtf)
+        _sub("streaming", _streaming)
     print(json.dumps(record))
 
 

@@ -343,7 +343,10 @@ def _conv_module(p, x, mask, cfg, rate, rngs, train):
     # dim; measured 1.5 ms vs 86 ms fwd+bwd at B=100, S=500, C=512)
     kernel = p["dw"]["w"].astype(dtype)  # [K, D]
     k = kernel.shape[0]
-    pad = (k - 1) // 2
+    if cfg.conformer_causal_conv:
+        pad = k - 1  # causal: only past frames (streaming-exact)
+    else:
+        pad = (k - 1) // 2  # centered SAME padding
     h = jax.lax.conv_general_dilated(
         h.transpose(0, 2, 1), kernel.T[:, None, :],  # rhs [O=D, I/g=1, K]
         window_strides=(1,), padding=[(pad, k - 1 - pad)],

@@ -106,6 +106,204 @@ class StreamingTDNN:
         return emit
 
 
+class StreamingConformer:
+    """Exact chunked inference for the Conformer encoder.
+
+    Requirements (both checked): a CAUSAL attention band
+    (``encoder_sub_sequence`` end == 0) and a CAUSAL depthwise conv
+    (``conformer_causal_conv=True``) — with those, per-layer carried
+    state makes chunked outputs IDENTICAL to the offline
+    ``conformer_encode`` (pinned by tests), with zero algorithmic
+    latency.  Carried state per layer:
+
+    - attention: the last ``-start`` frames of the MHSA input (keys and
+      values are recomputed from them — same trick as
+      :class:`StreamingBandedEncoder`);
+    - conv: the last ``kernel-1`` frames of the post-GLU activation
+      (zeros initially, exactly the causal conv's left padding).
+
+    The macaron half-FFNs and layer norms are position-wise and need no
+    state.  The streaming RTF benchmark config (BASELINE.md)."""
+
+    def __init__(self, params, cfg):
+        if cfg.encoder_type != "conformer":
+            raise ValueError("StreamingConformer serves the conformer "
+                             "encoder")
+        start, end = cfg.encoder_sub_sequence
+        if end != 0:
+            raise ValueError("streaming needs a causal band (end == 0)")
+        if not cfg.conformer_causal_conv:
+            raise ValueError(
+                "streaming needs conformer_causal_conv=True (a centered "
+                "depthwise conv reads future frames)")
+        self.params = params
+        # LN must apply even on length-1 chunks (see StreamingBandedEncoder)
+        self.cfg = cfg.replace(ln_skip_len1=False)
+        self.window = -start
+        self._attn_caches = None  # per layer [B, <=window, D] MHSA inputs
+        self._conv_caches = None  # per layer [B, k-1, D] post-GLU frames
+        self._offset = 0
+
+    def reset(self):
+        self._attn_caches = None
+        self._conv_caches = None
+        self._offset = 0
+
+    def _mhsa(self, p, x, keys, n_cache):
+        """Chunk MHSA against cached+current keys; numerics mirror
+        encoders._conformer_mhsa (post-LN, 1/sqrt(d_model) scale)."""
+        from pytorch_kaldi_asr_tpu.models.common import (
+            layer_norm,
+            masked_softmax,
+        )
+
+        cfg = self.cfg
+        dtype = cfg.compute_dtype
+        b, t, d_model = x.shape
+        residual = x
+        qs = jnp.einsum("bld,hdk->bhlk", x.astype(dtype),
+                        p["w_qs"].astype(dtype))
+        ks = jnp.einsum("bld,hdk->bhlk", keys.astype(dtype),
+                        p["w_ks"].astype(dtype))
+        vs = jnp.einsum("bld,hdv->bhlv", keys.astype(dtype),
+                        p["w_vs"].astype(dtype))
+        logits = jnp.einsum("bhqk,bhlk->bhql", qs, ks) / jnp.sqrt(
+            jnp.array(d_model, dtype=dtype))
+        qi = jnp.arange(t)[:, None]
+        kj = jnp.arange(keys.shape[1])[None, :]
+        rel = kj - (qi + n_cache)
+        blocked = ~((rel >= -self.window) & (rel <= 0))
+        attn = masked_softmax(logits.astype(jnp.float32),
+                              blocked[None, None]).astype(dtype)
+        out = jnp.einsum("bhql,bhlv->bhqv", attn, vs)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, -1)
+        out = out @ p["proj"]["w"].astype(dtype) + p["proj"]["b"].astype(dtype)
+        out = (out + residual).astype(cfg.conformer_stream_dtype)
+        return layer_norm(out, p["ln"]["gamma"], p["ln"]["beta"],
+                          skip_len1=False)
+
+    def _conv(self, p, x, conv_cache):
+        """Causal conv module over [cached GLU frames | chunk].  Returns
+        (chunk outputs, new cache)."""
+        import jax
+
+        from pytorch_kaldi_asr_tpu.models.common import layer_norm
+
+        cfg = self.cfg
+        dtype = cfg.compute_dtype
+        residual = x
+        h = layer_norm(x, p["ln"]["gamma"], p["ln"]["beta"], skip_len1=False)
+        h = h.astype(dtype) @ p["pw1"]["w"].astype(dtype) + p["pw1"][
+            "b"].astype(dtype)
+        a, g = jnp.split(h, 2, axis=-1)
+        h = a * jax.nn.sigmoid(g)  # GLU
+        kernel = p["dw"]["w"].astype(dtype)  # [K, D]
+        k = kernel.shape[0]
+        if conv_cache is None:
+            conv_cache = jnp.zeros((x.shape[0], k - 1, h.shape[-1]), h.dtype)
+        conv_in = jnp.concatenate([conv_cache.astype(h.dtype), h], axis=1)
+        new_cache = conv_in[:, -(k - 1):] if k > 1 else conv_in[:, :0]
+        y = jax.lax.conv_general_dilated(
+            conv_in.transpose(0, 2, 1), kernel.T[:, None, :],
+            window_strides=(1,), padding=[(0, 0)],  # cache IS the padding
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            feature_group_count=conv_in.shape[-1],
+        ).transpose(0, 2, 1) + p["dw"]["b"].astype(dtype)
+        y = y.astype(cfg.conformer_stream_dtype)
+        y = layer_norm(y, p["norm"]["gamma"], p["norm"]["beta"],
+                       skip_len1=False)
+        y = jax.nn.swish(y)
+        y = y.astype(dtype) @ p["pw2"]["w"].astype(dtype) + p["pw2"][
+            "b"].astype(dtype)
+        return residual + y.astype(cfg.conformer_stream_dtype), new_cache
+
+    def push(self, chunk):
+        """Feed [B, T, D] frames; returns [B, T, en_d_model] outputs
+        (latency = 0 frames: band and conv are both causal)."""
+        from pytorch_kaldi_asr_tpu.models.encoders import _half_ffn
+
+        cfg = self.cfg
+        chunk = jnp.asarray(chunk)
+        b, t, _ = chunk.shape
+        rngs = _Rngs(None)
+        dtype = cfg.compute_dtype
+        sd = cfg.conformer_stream_dtype
+
+        pos = position_encoding_table(
+            max(cfg.encoder_max_len, self._offset + t), cfg.en_d_model
+        )[self._offset : self._offset + t]
+        x = chunk.astype(dtype) @ self.params["src_proj"]["w"].astype(dtype)
+        x = x.astype(sd) + pos[None].astype(sd)
+
+        n_layers = len(self.params["layers"])
+        if self._attn_caches is None:
+            self._attn_caches = [None] * n_layers
+            self._conv_caches = [None] * n_layers
+        for li, layer in enumerate(self.params["layers"]):
+            x = _half_ffn(layer["ffn1"], x, cfg, 0.0, rngs, False)
+            cache = self._attn_caches[li]
+            if cache is None:
+                keys, n_cache = x, 0
+            else:
+                keys = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+                n_cache = cache.shape[1]
+            if self.window:
+                self._attn_caches[li] = keys[:, -self.window:]
+            x = self._mhsa(layer["mhsa"], x, keys, n_cache)
+            x, self._conv_caches[li] = self._conv(layer["conv"], x,
+                                                  self._conv_caches[li])
+            x = _half_ffn(layer["ffn2"], x, cfg, 0.0, rngs, False)
+        self._offset += t
+        return np.asarray(x)
+
+    def flush(self):
+        """Causal model: nothing is pending at end of stream."""
+        return None
+
+
+class StreamingAM:
+    """Chunked AM posteriors from a streaming ENCODER: applies the AM
+    output head to each emitted encoder chunk.  Gives conformer/banded
+    AMs the same push/flush contract recipes/serve.py's hybrid streaming
+    sessions use with StreamingTDNN."""
+
+    def __init__(self, params, cfg, *, log_priors=None):
+        from pytorch_kaldi_asr_tpu.models.encoders import ENCODER_APPLYS
+
+        if cfg.encoder_type == "conformer":
+            self.encoder = StreamingConformer(params["encoder"], cfg)
+        elif cfg.encoder_type == "banded":
+            self.encoder = StreamingBandedEncoder(params["encoder"], cfg)
+        else:
+            raise ValueError(
+                f"StreamingAM serves conformer/banded encoders, not "
+                f"{cfg.encoder_type!r} (use StreamingTDNN)")
+        assert cfg.encoder_type in ENCODER_APPLYS
+        self.params = params
+        self.cfg = cfg
+        self.log_priors = log_priors
+
+    def reset(self):
+        self.encoder.reset()
+
+    def _head(self, enc):
+        from pytorch_kaldi_asr_tpu.models.am import head_log_posteriors
+
+        return np.asarray(head_log_posteriors(
+            self.params, self.cfg, jnp.asarray(enc),
+            log_priors=self.log_priors))
+
+    def push(self, chunk):
+        enc = self.encoder.push(chunk)
+        return None if enc is None else self._head(enc)
+
+    def flush(self):
+        enc = self.encoder.flush()
+        out = None if enc is None else self._head(enc)
+        self.encoder.reset()
+        return out
+
+
 class StreamingBandedEncoder:
     """Exact chunked inference for the banded self-attention encoder with
     per-layer K/V input caches (window must be causal: end == 0)."""
@@ -176,3 +374,7 @@ class StreamingBandedEncoder:
         self._caches = new_caches
         self._offset += t
         return np.asarray(out)
+
+    def flush(self):
+        """Causal band: nothing is pending at end of stream."""
+        return None

@@ -94,6 +94,12 @@ class TransformerConfig:
     # inside layer_norm either way).  Training-quality-neutral at recipe
     # scale (see tests/test_encoders.py bf16-stream test).
     conformer_stream_dtype: Any = jnp.float32
+    # Causal depthwise conv in the Conformer conv module (pad left k-1
+    # instead of centered SAME padding).  Required for exact streaming
+    # inference (models/streaming.py StreamingConformer): a centered conv
+    # needs future frames, a causal one doesn't.  Train with this on when
+    # the model will serve streaming sessions.
+    conformer_causal_conv: bool = False
     tdnnf_bottleneck: int = 64
     # banded-encoder attention dispatch: None = auto (Pallas kernel on TPU
     # for S >= 1024), True = always kernel, False = always the masked XLA

@@ -536,7 +536,10 @@ class HybridRecognizer:
     def new_stream(self):
         from pytorch_kaldi_asr_tpu.decode.latgen import StreamingLatgen
         from pytorch_kaldi_asr_tpu.models.am import am_log_posteriors
-        from pytorch_kaldi_asr_tpu.models.streaming import StreamingTDNN
+        from pytorch_kaldi_asr_tpu.models.streaming import (
+            StreamingAM,
+            StreamingTDNN,
+        )
 
         def apply_fn(p, c, buf, m, pos_offset=0):
             return am_log_posteriors(p, c, buf, m, pos_offset=pos_offset)
@@ -550,8 +553,16 @@ class HybridRecognizer:
 
             stream_params = dequantize_tree(self.params)
 
+        # frontend by encoder family: carried-cache attention/conv
+        # streamers for conformer/banded, receptive-field overlap for
+        # tdnn/tdnnf (all equality-pinned vs their offline encoders)
+        if self.cfg.encoder_type in ("conformer", "banded"):
+            frontend = StreamingAM(stream_params, self.cfg)
+        else:
+            frontend = StreamingTDNN(stream_params, self.cfg, apply_fn)
+
         return _HybridStream(
-            StreamingTDNN(stream_params, self.cfg, apply_fn),
+            frontend,
             StreamingLatgen(self.graph, beam=self.beam,
                             acoustic_scale=self.acoustic_scale,
                             max_active=self.max_active,

@@ -303,3 +303,60 @@ def test_conformer_grads_finite_with_padded_frames():
         name = "/".join(str(getattr(p, "key", getattr(p, "idx", "")))
                         for p in path)
         assert np.isfinite(np.asarray(g)).all(), f"non-finite grad {name}"
+
+
+def test_streaming_conformer_matches_offline():
+    """Chunked StreamingConformer == offline conformer_encode when the
+    band and the depthwise conv are causal, including ragged chunk sizes
+    and a length-1 chunk."""
+    from pytorch_kaldi_asr_tpu.models.streaming import StreamingConformer
+
+    cfg = _cfg("conformer", conformer_causal_conv=True)
+    params = init_transformer(jax.random.PRNGKey(10), cfg)
+    rng = np.random.default_rng(11)
+    src = rng.normal(size=(2, 24, cfg.src_dim)).astype(np.float32)
+    mask = jnp.ones((2, 24), jnp.uint8)
+    offline, _ = encode(params, cfg, jnp.asarray(src), mask)
+
+    stream = StreamingConformer(params["encoder"], cfg)
+    outs = []
+    for a, b in [(0, 5), (5, 6), (6, 7), (7, 20), (20, 24)]:
+        outs.append(stream.push(src[:, a:b]))
+    assert stream.flush() is None
+    got = np.concatenate(outs, axis=1)
+    assert got.shape == offline.shape
+    np.testing.assert_allclose(got, np.asarray(offline), atol=2e-4)
+
+
+def test_streaming_conformer_rejects_noncausal():
+    from pytorch_kaldi_asr_tpu.models.streaming import StreamingConformer
+
+    params = init_transformer(jax.random.PRNGKey(0),
+                              _cfg("conformer", conformer_causal_conv=True))
+    with pytest.raises(ValueError, match="causal"):
+        StreamingConformer(params["encoder"], _cfg("conformer"))
+    with pytest.raises(ValueError, match="band"):
+        StreamingConformer(
+            params["encoder"],
+            _cfg("conformer", conformer_causal_conv=True).replace(
+                encoder_sub_sequence=(-8, 2)))
+
+
+def test_streaming_am_conformer_posteriors_match_offline():
+    """StreamingAM(conformer) == offline am_log_posteriors chunk by
+    chunk (the serve.py hybrid streaming frontend contract)."""
+    from pytorch_kaldi_asr_tpu.models.streaming import StreamingAM
+
+    cfg = _cfg("conformer", conformer_causal_conv=True)
+    n_targets = 6
+    params = am.init_am(jax.random.PRNGKey(12), cfg, n_targets)
+    rng = np.random.default_rng(13)
+    src = rng.normal(size=(1, 18, cfg.src_dim)).astype(np.float32)
+    mask = jnp.ones((1, 18), jnp.uint8)
+    offline, _ = am.am_log_posteriors(params, cfg, jnp.asarray(src), mask)
+
+    stream = StreamingAM(params, cfg)
+    outs = [stream.push(src[:, s : s + 6]) for s in range(0, 18, 6)]
+    assert stream.flush() is None
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, np.asarray(offline), atol=2e-4)

@@ -581,3 +581,50 @@ def test_hybrid_reload(hybrid_setup):
           cfg, epoch=1, extra={"n_targets": 2, "model_kind": "am"})
     with pytest.raises(ValueError):
         rec.reload(str(tmp / "am_bad"))
+
+
+def test_hybrid_conformer_streaming_matches_offline(tmp_path):
+    """Conformer-AM hybrid serving: TRUE streaming sessions (StreamingAM
+    carried-cache frontend) agree with the offline decode."""
+    from pytorch_kaldi_asr_tpu.fst.graph import mkgraph
+    from pytorch_kaldi_asr_tpu.fst.openfst_io import write_const_fst
+    from pytorch_kaldi_asr_tpu.lm.ngram import train_ngram_lm
+    from pytorch_kaldi_asr_tpu.models import TransformerConfig
+    from pytorch_kaldi_asr_tpu.models.am import init_am
+    from pytorch_kaldi_asr_tpu.recipes.mkgraph import write_symbol_table
+    from pytorch_kaldi_asr_tpu.train.checkpoint import save_checkpoint
+
+    phones = {p: i + 1 for i, p in enumerate("abkt")}
+    lexicon = {"bat": list("bat"), "at": list("at"), "tab": list("tab")}
+    lm = train_ngram_lm([s.split() for s in
+                         ["bat at", "at tab", "tab bat at"]], order=2)
+    word_syms = {w: i + 1 for i, w in enumerate(sorted(lexicon))}
+    graph, _ = mkgraph(lexicon, lm, word_syms, phones, sil_phone=None,
+                       hmm_loops=True)
+    gdir = tmp_path / "graph"
+    gdir.mkdir()
+    write_const_fst(graph, str(gdir / "HLG.fst"))
+    write_symbol_table(str(gdir / "words.txt"), word_syms)
+
+    cfg = TransformerConfig(
+        src_dim=6, vocab_size=8, en_layers=1, de_layers=1, n_head=1,
+        en_d_model=16, de_d_model=16, d_k=8, d_v=8, encoder_max_len=64,
+        en_dropout=0.0, de_dropout=0.0, encoder_type="conformer",
+        encoder_sub_sequence=(-8, 0), conformer_kernel=5,
+        conformer_causal_conv=True,
+    )
+    params = init_am(jax.random.PRNGKey(0), cfg, n_targets=len(phones))
+    save_checkpoint(str(tmp_path / "am"), params, cfg, epoch=1,
+                    extra={"n_targets": len(phones), "model_kind": "am"})
+
+    rec = serve_mod.HybridRecognizer(str(tmp_path / "am"),
+                                     str(gdir), beam=1e9)
+    rng = np.random.default_rng(5)
+    feats = rng.normal(size=(18, cfg.src_dim)).astype(np.float32)
+    off, _ = rec.recognize(feats, nbest=1)
+
+    st = rec.new_stream()
+    for lo in range(0, 18, 6):
+        st.push(feats[lo:lo + 6])
+    text, score = st.finish()
+    assert text == off[0][0]
