@@ -382,59 +382,16 @@ def measure_decode_and_int8(batch=8, frames=500, beam=25, max_len=100,
     }
 
 
-def _hybrid_bench_setup(n_words=200, n_phones=40, n_sents=400, seed=0):
-    """Synthetic lexicon + bigram LM -> compiled HLG-style graph, plus
-    peaked log-posteriors along a random in-grammar phone path (the
-    realistic pruning regime; uniform posteriors would defeat the beam)."""
-    from pytorch_kaldi_asr_tpu.fst.graph import mkgraph
-    from pytorch_kaldi_asr_tpu.lm.ngram import train_ngram_lm
+def measure_hybrid_rtf():
+    """Hybrid-path graph-search RTF (host-side Viterbi over a compiled
+    graph — the role Kaldi's C++ decoders play for the reference); see
+    tools/bench_rtf.bench_hybrid."""
+    from pytorch_kaldi_asr_tpu.tools.bench_rtf import bench_hybrid
 
-    rng = np.random.default_rng(seed)
-    phones = {f"p{i}": i + 1 for i in range(n_phones)}
-    phone_names = list(phones)
-    lexicon = {
-        f"w{i}": [phone_names[j] for j in
-                  rng.integers(0, n_phones, size=rng.integers(3, 7))]
-        for i in range(n_words)
-    }
-    words = sorted(lexicon)
-    word_syms = {w: i + 1 for i, w in enumerate(words)}
-    sents = [[words[j] for j in rng.integers(0, n_words,
-                                             size=rng.integers(3, 9))]
-             for _ in range(n_sents)]
-    lm = train_ngram_lm(sents, order=2)
-    graph, ph_ext = mkgraph(lexicon, lm, word_syms, phones)
-
-    # peaked posteriors along a random word sequence's phone path
-    path = []
-    for w in [words[j] for j in rng.integers(0, n_words, size=12)]:
-        for ph in lexicon[w]:
-            path.extend([phones[ph]] * int(rng.integers(2, 5)))
-    T = len(path)
-    logits = rng.normal(size=(T, n_phones)).astype(np.float64)
-    logits[np.arange(T), np.asarray(path) - 1] += 6.0
-    log_posts = logits - np.log(np.exp(logits).sum(1, keepdims=True))
-    return graph, log_posts
-
-
-def measure_hybrid_rtf(beam=16.0, max_active=2000, repeats=3):
-    """Hybrid-path graph-search RTF: frame-synchronous Viterbi over a
-    compiled graph, HOST-side (the role Kaldi's C++ decoders play for the
-    reference).  Uses the production latgen entry point, which dispatches
-    to the native C++ core when built.  No accelerator involved."""
-    from pytorch_kaldi_asr_tpu.decode.latgen import latgen
-
-    graph, log_posts = _hybrid_bench_setup()
-    audio_sec = log_posts.shape[0] * 0.01
-    res = latgen(graph, log_posts, beam=beam, max_active=max_active)  # warm
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        res = latgen(graph, log_posts, beam=beam, max_active=max_active)
-        best = min(best, time.perf_counter() - t0)
-    assert res is not None, "hybrid bench decode died (graph/posterior bug)"
-    return {"hybrid_rtf": round(best / audio_sec, 6),
-            "hybrid_frames_per_sec": round(log_posts.shape[0] / best, 1)}
+    r = bench_hybrid()
+    return {"hybrid_rtf": r["value"],
+            "hybrid_frames_per_sec": r["frames_per_sec"],
+            "hybrid_native_speedup": r.get("native_speedup_vs_python")}
 
 
 def get_baseline():

@@ -68,6 +68,32 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int32,
     ]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.pka_graph_create.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+        i32p, i32p, f64p, i32p, f64p,
+    ]
+    lib.pka_graph_create.restype = ctypes.c_void_p
+    lib.pka_graph_destroy.argtypes = [ctypes.c_void_p]
+    lib.pka_latgen_create.argtypes = [
+        ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+        f64p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+    ]
+    lib.pka_latgen_create.restype = ctypes.c_void_p
+    lib.pka_latgen_destroy.argtypes = [ctypes.c_void_p]
+    lib.pka_latgen_reset.argtypes = [ctypes.c_void_p]
+    lib.pka_latgen_push.argtypes = [ctypes.c_void_p, f64p, ctypes.c_int64,
+                                    ctypes.c_int32]
+    lib.pka_latgen_dead.argtypes = [ctypes.c_void_p]
+    lib.pka_latgen_frames.argtypes = [ctypes.c_void_p]
+    lib.pka_latgen_frames.restype = ctypes.c_int64
+    lib.pka_latgen_partial.argtypes = [ctypes.c_void_p, i32p,
+                                       ctypes.c_int64, f64p]
+    lib.pka_latgen_partial.restype = ctypes.c_int64
+    lib.pka_latgen_finish.argtypes = [ctypes.c_void_p, i32p, i32p,
+                                      ctypes.c_int64, f64p]
+    lib.pka_latgen_finish.restype = ctypes.c_int64
     _lib = lib
     return lib
 

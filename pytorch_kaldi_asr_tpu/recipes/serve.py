@@ -342,7 +342,8 @@ class HybridRecognizer:
 
     def __init__(self, model_file, graph_dir, *, beam=16.0, max_active=2000,
                  priors_file=None, acoustic_scale=1.0,
-                 buckets=DEFAULT_BUCKETS, quantize_weights=False):
+                 buckets=DEFAULT_BUCKETS, quantize_weights=False,
+                 decode_workers=None):
         import jax
 
         from pytorch_kaldi_asr_tpu.fst.openfst_io import read_fst
@@ -370,6 +371,16 @@ class HybridRecognizer:
                            if priors_file else None)
         self.buckets = _clip_buckets(buckets, cfg.encoder_max_len)
         self.lock = threading.Lock()
+        # host graph searches parallelize across a thread pool: the
+        # native decoder (decode/latgen.py NativeStreamingLatgen) releases
+        # the GIL for the whole C++ token-passing call, so batch decodes
+        # scale with host cores — the role the reference hands to
+        # multi-process Kaldi decode jobs (queue.pl JOB=1:N)
+        self.decode_workers = decode_workers or min(8, os.cpu_count() or 1)
+        self._decode_pool = None
+        self._search_lock = threading.Lock()
+        self.graph_searches = 0
+        self.graph_search_ms_total = 0.0
 
         from pytorch_kaldi_asr_tpu.models.am import am_log_posteriors
 
@@ -515,14 +526,35 @@ class HybridRecognizer:
         text = " ".join(self.id2word.get(w, "<unk>") for w in words)
         return [(text, -float(cost))]
 
+    def _timed_decode(self, posts, nbest):
+        t0 = time.time()
+        out = self._graph_decode(posts, nbest)
+        ms = (time.time() - t0) * 1e3
+        with self._search_lock:
+            self.graph_searches += 1
+            self.graph_search_ms_total += ms
+        return out
+
     def recognize_many(self, feats_list, nbest=1, batch_pad=None):
         """Batched recognition (the MicroBatcher contract): the AM runs
-        once for the whole group; the graph searches run per utterance on
-        the host, outside the device lock."""
+        once for the whole group; the graph searches fan out over the
+        host thread pool, outside the device lock (the native decoder
+        releases the GIL, so they run truly concurrently)."""
         feats_list = [self.check_features(f) for f in feats_list]
         posts_list, lens = self._posteriors_many(feats_list,
                                                  batch_pad=batch_pad)
-        return [self._graph_decode(p, nbest) for p in posts_list], lens
+        if self.decode_workers > 1 and len(posts_list) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._decode_pool is None:
+                self._decode_pool = ThreadPoolExecutor(
+                    max_workers=self.decode_workers,
+                    thread_name_prefix="graph-decode")
+            outs = list(self._decode_pool.map(
+                lambda p: self._timed_decode(p, nbest), posts_list))
+        else:
+            outs = [self._timed_decode(p, nbest) for p in posts_list]
+        return outs, lens
 
     def recognize(self, feats, nbest=1):
         """([(text, score)], frames_decoded); score = NEGATED graph cost,
@@ -534,7 +566,9 @@ class HybridRecognizer:
     # -- streaming ---------------------------------------------------------
 
     def new_stream(self):
-        from pytorch_kaldi_asr_tpu.decode.latgen import StreamingLatgen
+        from pytorch_kaldi_asr_tpu.decode.latgen import (
+            make_streaming_latgen,
+        )
         from pytorch_kaldi_asr_tpu.models.am import am_log_posteriors
         from pytorch_kaldi_asr_tpu.models.streaming import (
             StreamingAM,
@@ -563,10 +597,10 @@ class HybridRecognizer:
 
         return _HybridStream(
             frontend,
-            StreamingLatgen(self.graph, beam=self.beam,
-                            acoustic_scale=self.acoustic_scale,
-                            max_active=self.max_active,
-                            log_priors=self.log_priors),
+            make_streaming_latgen(self.graph, beam=self.beam,
+                                  acoustic_scale=self.acoustic_scale,
+                                  max_active=self.max_active,
+                                  log_priors=self.log_priors),
             self.id2word, self.lock)
 
 
@@ -863,6 +897,17 @@ def make_handler(recognizer, sessions=None, stats=None):
                 out["buckets"] = list(recognizer.buckets)
                 if hasattr(recognizer, "new_stream"):  # hybrid
                     out["beam"] = recognizer.beam
+                    from pytorch_kaldi_asr_tpu import native as _native
+
+                    with recognizer._search_lock:
+                        n = recognizer.graph_searches
+                        ms = recognizer.graph_search_ms_total
+                    out["graph_search"] = {
+                        "native": _native.available(),
+                        "decode_workers": recognizer.decode_workers,
+                        "searches": n,
+                        "mean_ms": round(ms / n, 3) if n else None,
+                    }
                 else:
                     out["beam_size"] = recognizer.beam_size
                     out["vocab_size"] = recognizer.cfg.vocab_size

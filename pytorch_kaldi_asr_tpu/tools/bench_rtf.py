@@ -136,10 +136,119 @@ def bench_streaming_conformer(frames=400, chunk=40, feat_dim=40,
     }
 
 
+def hybrid_bench_setup(n_words=200, n_phones=40, n_sents=400, seed=0):
+    """Synthetic lexicon + bigram LM -> compiled HLG-style graph, plus
+    peaked log-posteriors along a random in-grammar phone path (the
+    realistic pruning regime; uniform posteriors would defeat the beam)."""
+    from pytorch_kaldi_asr_tpu.fst.graph import mkgraph
+    from pytorch_kaldi_asr_tpu.lm.ngram import train_ngram_lm
+
+    rng = np.random.default_rng(seed)
+    phones = {f"p{i}": i + 1 for i in range(n_phones)}
+    phone_names = list(phones)
+    lexicon = {
+        f"w{i}": [phone_names[j] for j in
+                  rng.integers(0, n_phones, size=rng.integers(3, 7))]
+        for i in range(n_words)
+    }
+    words = sorted(lexicon)
+    word_syms = {w: i + 1 for i, w in enumerate(words)}
+    sents = [[words[j] for j in rng.integers(0, n_words,
+                                             size=rng.integers(3, 9))]
+             for _ in range(n_sents)]
+    lm = train_ngram_lm(sents, order=2)
+    graph, _ = mkgraph(lexicon, lm, word_syms, phones)
+
+    # peaked posteriors along a random word sequence's phone path
+    path = []
+    for w in [words[j] for j in rng.integers(0, n_words, size=12)]:
+        for ph in lexicon[w]:
+            path.extend([phones[ph]] * int(rng.integers(2, 5)))
+    T = len(path)
+    logits = rng.normal(size=(T, n_phones)).astype(np.float64)
+    logits[np.arange(T), np.asarray(path) - 1] += 6.0
+    log_posts = logits - np.log(np.exp(logits).sum(1, keepdims=True))
+    return graph, log_posts
+
+
+def bench_hybrid(beam=16.0, max_active=2000, repeats=3):
+    """Hybrid-path graph-search RTF: frame-synchronous Viterbi over a
+    compiled graph on the HOST (the role Kaldi's C++ decoders play for
+    the reference).  Times the production path (native C++ core when
+    built, decode/latgen.py make_streaming_latgen) and, if native is
+    available, the pure-Python oracle for the speedup ratio.  No
+    accelerator involved."""
+    from pytorch_kaldi_asr_tpu import native
+    from pytorch_kaldi_asr_tpu.decode.latgen import (
+        StreamingLatgen,
+        latgen,
+    )
+
+    graph, log_posts = hybrid_bench_setup()
+    audio_sec = log_posts.shape[0] * 0.01
+
+    def best_of(fn):
+        fn()  # warm (graph conversion, caches)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            res = fn()
+            best = min(best, time.perf_counter() - t0)
+        assert res is not None, "hybrid bench decode died"
+        return best
+
+    t_prod = best_of(lambda: latgen(graph, log_posts, beam=beam,
+                                    max_active=max_active))
+    out = {
+        "metric": "hybrid_rtf",
+        "value": round(t_prod / audio_sec, 6),
+        "unit": "rtf",
+        "frames_per_sec": round(log_posts.shape[0] / t_prod, 1),
+        "native": native.available(),
+    }
+    if native.available():
+        def py_run():
+            dec = StreamingLatgen(graph, beam=beam, max_active=max_active)
+            dec.push(log_posts)
+            return dec.finish()
+
+        t_py = best_of(py_run)
+        out["native_speedup_vs_python"] = round(t_py / t_prod, 1)
+
+        # concurrency scaling: the native core releases the GIL, so two
+        # threads decoding distinct utterances over the SHARED graph
+        # should scale with host cores (~2x on >=2 cores, ~1x on 1)
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_jobs = 8
+
+        def serial():
+            for _ in range(n_jobs):
+                latgen(graph, log_posts, beam=beam, max_active=max_active)
+
+        def threaded():
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                list(pool.map(
+                    lambda _: latgen(graph, log_posts, beam=beam,
+                                     max_active=max_active),
+                    range(n_jobs)))
+
+        serial()  # warm
+        t0 = time.perf_counter()
+        serial()
+        t_ser = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        threaded()
+        t_thr = time.perf_counter() - t0
+        out["concurrency_scaling_x2"] = round(t_ser / max(t_thr, 1e-9), 2)
+    return out
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--which",
-                        choices=["posterior", "decode", "streaming", "all"],
+                        choices=["posterior", "decode", "streaming",
+                                 "hybrid", "all"],
                         default="all")
     opt = parser.parse_args(argv)
     if opt.which in ("posterior", "all"):
@@ -148,6 +257,8 @@ def main(argv=None):
         print(json.dumps(bench_decode()))
     if opt.which in ("streaming", "all"):
         print(json.dumps(bench_streaming_conformer()))
+    if opt.which in ("hybrid", "all"):
+        print(json.dumps(bench_hybrid()))
     return 0
 
 
