@@ -44,17 +44,19 @@ class CorpusModel:
     """The shared generative model: phone prototypes, bigram, durations.
     One instance must generate all three splits or the task decouples."""
 
-    def __init__(self, feat_dim=40, seed=0, noise=0.9):
+    def __init__(self, feat_dim=40, seed=0, noise=0.9, proto_scale=2.2):
         rng = np.random.default_rng(seed)
         self.feat_dim = feat_dim
         self.noise = noise
         n = len(PHONES)
-        # smooth prototypes: low-frequency random curves, unit-ish scale
+        # smooth prototypes: low-frequency random curves; ``proto_scale``
+        # sets phone separability (lower = more confusable phones — the
+        # knob that moves the achievable WER band, VERDICT r2 next #4)
         base = rng.normal(size=(n, feat_dim))
         kernel = np.ones(5) / 5.0
         self.means = np.stack(
             [np.convolve(row, kernel, mode="same") for row in base]
-        ) * 2.2
+        ) * proto_scale
         # sparse bigram: each phone transitions to ~8 preferred successors
         logits = rng.normal(size=(n, n)) * 2.0
         keep = np.argsort(-logits, axis=1)[:, :8]
@@ -146,10 +148,13 @@ def main(argv=None):
                         help="scale TIMIT's 3696/384/192 split sizes")
     parser.add_argument("-feat_dim", type=int, default=40)
     parser.add_argument("-noise", type=float, default=0.9)
+    parser.add_argument("-proto_scale", type=float, default=2.2,
+                        help="phone prototype separation; lower = harder")
     parser.add_argument("-seed", type=int, default=0)
     opt = parser.parse_args(argv)
 
-    model = CorpusModel(feat_dim=opt.feat_dim, seed=opt.seed, noise=opt.noise)
+    model = CorpusModel(feat_dim=opt.feat_dim, seed=opt.seed,
+                        noise=opt.noise, proto_scale=opt.proto_scale)
     sizes = {
         "train": max(2, int(3696 * opt.scale)),
         "dev": max(1, int(384 * opt.scale)),
