@@ -384,13 +384,105 @@ def latgen(graph: Fst, log_posts, *, acoustic_scale=1.0, beam=16.0,
     return dec.finish()
 
 
+def _native_latgen_lattice(graph, log_posts, *, acoustic_scale, beam,
+                           lattice_beam, max_active, log_priors,
+                           sym_offset, id2word, utt):
+    """Native-core lattice decode: the C++ token loop records surviving
+    transitions (native/src/latgen.cc LatticeDecoder); the WordLattice is
+    assembled and beam-pruned here.  Link RECORDING depends on epsilon
+    relaxation order (the record test ``nc < cur + lattice_beam`` sees a
+    looser ``cur`` earlier in the relaxation), so the unpruned link sets
+    may differ from the Python decoder's on marginal links; the pruned
+    lattice is equivalent wherever the order doesn't bite (pinned: exact
+    nbest equality at wide beams, 1-best equality always —
+    tests/test_native_latgen.py)."""
+    import ctypes
+
+    from pytorch_kaldi_asr_tpu import native
+    from pytorch_kaldi_asr_tpu.decode.lattice_io import WordLattice
+
+    lib = native._require()
+    ngraph = _native_graph(graph, lib)
+    posts = np.ascontiguousarray(log_posts, np.float64)
+    priors_p, n_priors = None, 0
+    if log_priors is not None:
+        priors = np.ascontiguousarray(log_priors, np.float64)
+        priors_p = priors.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        n_priors = len(priors)
+    h = lib.pka_latlat_create(ngraph.handle, float(acoustic_scale),
+                              float(beam), float(lattice_beam),
+                              int(max_active), priors_p, n_priors,
+                              int(sym_offset))
+    try:
+        rc = lib.pka_latlat_run(
+            h, posts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            posts.shape[0], posts.shape[1])
+        if rc == -1:
+            raise ValueError("lattice has a cycle")  # mirrors topo_order
+        if rc == 0:
+            return None
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        nn = int(lib.pka_latlat_n_nodes(h))
+        times = np.empty(nn, np.int32)
+        lib.pka_latlat_node_times(h, times.ctypes.data_as(i32p))
+        n = int(lib.pka_latlat_n_links(h))
+        frm = np.empty(n, np.int32)
+        to = np.empty(n, np.int32)
+        ol = np.empty(n, np.int32)
+        ac = np.empty(n, np.float64)
+        gw = np.empty(n, np.float64)
+        lib.pka_latlat_links(h, frm.ctypes.data_as(i32p),
+                             to.ctypes.data_as(i32p),
+                             ol.ctypes.data_as(i32p),
+                             ac.ctypes.data_as(f64p),
+                             gw.ctypes.data_as(f64p))
+        nf = int(lib.pka_latlat_n_finals(h))
+        fnodes = np.empty(nf, np.int32)
+        fweights = np.empty(nf, np.float64)
+        lib.pka_latlat_finals(h, fnodes.ctypes.data_as(i32p),
+                              fweights.ctypes.data_as(f64p))
+    finally:
+        lib.pka_latlat_destroy(h)
+
+    def word(o):
+        if o == EPS:
+            return "<eps>"
+        return id2word.get(o, f"#{o}") if id2word else str(o)
+
+    # the native core already beam-pruned and renumbered by (time, id):
+    # assemble the final WordLattice verbatim
+    lat = WordLattice(utt=utt)
+    for t in times:
+        lat.add_node(int(t))
+    for i in range(n):
+        lat.add_link(int(frm[i]), int(to[i]), word(int(ol[i])),
+                     float(ac[i]), float(gw[i]))
+    for i in range(nf):
+        lat.finals[int(fnodes[i])] = float(fweights[i])
+    return lat
+
+
 def latgen_lattice(graph: Fst, log_posts, *, acoustic_scale=1.0, beam=16.0,
                    lattice_beam=8.0, max_active=2000, log_priors=None,
                    sym_offset=1, id2word=None, utt=""):
     """Lattice-generating decode: like latgen() but records every
     transition within ``lattice_beam`` of a surviving token and returns a
     pruned WordLattice (the lattice-faster decode role feeding
-    convert_slf/KWS tooling).  Returns None if no path survives."""
+    convert_slf/KWS tooling).  Dispatches the token loop to the native
+    C++ core when built (PKA_NATIVE_LATGEN=0 forces Python).  Returns
+    None if no path survives."""
+    import os
+
+    if os.environ.get("PKA_NATIVE_LATGEN", "1") != "0":
+        from pytorch_kaldi_asr_tpu import native
+
+        if native.available():
+            return _native_latgen_lattice(
+                graph, log_posts, acoustic_scale=acoustic_scale, beam=beam,
+                lattice_beam=lattice_beam, max_active=max_active,
+                log_priors=log_priors, sym_offset=sym_offset,
+                id2word=id2word, utt=utt)
     from pytorch_kaldi_asr_tpu.decode.lattice_io import WordLattice
 
     log_posts = np.asarray(log_posts, dtype=np.float64)

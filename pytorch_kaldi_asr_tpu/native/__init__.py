@@ -94,6 +94,24 @@ def _load():
     lib.pka_latgen_finish.argtypes = [ctypes.c_void_p, i32p, i32p,
                                       ctypes.c_int64, f64p]
     lib.pka_latgen_finish.restype = ctypes.c_int64
+    lib.pka_latlat_create.argtypes = [
+        ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int32, f64p, ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.pka_latlat_create.restype = ctypes.c_void_p
+    lib.pka_latlat_destroy.argtypes = [ctypes.c_void_p]
+    lib.pka_latlat_run.argtypes = [ctypes.c_void_p, f64p, ctypes.c_int64,
+                                   ctypes.c_int32]
+    lib.pka_latlat_n_nodes.argtypes = [ctypes.c_void_p]
+    lib.pka_latlat_n_nodes.restype = ctypes.c_int64
+    lib.pka_latlat_node_times.argtypes = [ctypes.c_void_p, i32p]
+    lib.pka_latlat_n_links.argtypes = [ctypes.c_void_p]
+    lib.pka_latlat_n_links.restype = ctypes.c_int64
+    lib.pka_latlat_links.argtypes = [ctypes.c_void_p, i32p, i32p, i32p,
+                                     f64p, f64p]
+    lib.pka_latlat_n_finals.argtypes = [ctypes.c_void_p]
+    lib.pka_latlat_n_finals.restype = ctypes.c_int64
+    lib.pka_latlat_finals.argtypes = [ctypes.c_void_p, i32p, f64p]
     _lib = lib
     return lib
 

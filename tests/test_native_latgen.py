@@ -161,3 +161,63 @@ def test_latgen_wrapper_uses_native(graph):
     py = StreamingLatgen(graph, beam=12.0, max_active=64)
     py.push(posts)
     assert got == py.finish()
+
+
+def _lat_posts(T=60, seed=9):
+    return _posts(T=T, seed=seed)
+
+
+def test_native_lattice_wide_beam_equivalence(graph, monkeypatch):
+    """With wide beams every surviving transition is recorded by both
+    decoders, so the pruned lattices are equivalent automata: exact nbest
+    equality."""
+    from pytorch_kaldi_asr_tpu.decode.latgen import latgen_lattice
+    from pytorch_kaldi_asr_tpu.decode.lattice_ops import nbest as nb_op
+
+    posts = _lat_posts()
+    kw = dict(beam=14.0, lattice_beam=14.0, max_active=100000)
+    monkeypatch.setenv("PKA_NATIVE_LATGEN", "0")
+    lat_py = latgen_lattice(graph, posts, **kw)
+    monkeypatch.setenv("PKA_NATIVE_LATGEN", "1")
+    lat_nat = latgen_lattice(graph, posts, **kw)
+    assert (lat_py is None) == (lat_nat is None)
+    if lat_py is not None:
+        # semantic pin: the hypotheses and their exact costs agree
+        # (structural node/link counts can differ by a few MARGINAL links:
+        # recording is relaxation-order dependent at the lattice_beam edge)
+        assert nb_op(lat_py, 8) == nb_op(lat_nat, 8)
+
+
+def test_native_lattice_narrow_beam_best_path(graph, monkeypatch):
+    """At narrow beams link RECORDING is relaxation-order dependent, but
+    the 1-best path must equal the Viterbi decode exactly."""
+    from pytorch_kaldi_asr_tpu.decode.latgen import latgen, latgen_lattice
+    from pytorch_kaldi_asr_tpu.decode.lattice_ops import nbest as nb_op
+
+    posts = _lat_posts(T=80, seed=10)
+    monkeypatch.setenv("PKA_NATIVE_LATGEN", "1")
+    lat = latgen_lattice(graph, posts, beam=10.0, lattice_beam=5.0,
+                         max_active=64)
+    one = latgen(graph, posts, beam=10.0, max_active=64)
+    assert (lat is None) == (one is None)
+    if lat is not None:
+        (words, cost), = nb_op(lat, 1)
+        assert cost == pytest.approx(one[2], abs=1e-9)
+
+
+def test_native_lattice_id2word_and_priors(graph, monkeypatch):
+    from pytorch_kaldi_asr_tpu.decode.latgen import latgen_lattice
+
+    posts = _lat_posts(T=40, seed=11)
+    priors = np.log(np.full(len(PHONES), 1.0 / len(PHONES)))
+    id2word = {i + 1: w for i, w in enumerate(sorted(LEXICON))}
+    kw = dict(beam=14.0, lattice_beam=14.0, max_active=100000,
+              log_priors=priors, id2word=id2word, utt="u1")
+    monkeypatch.setenv("PKA_NATIVE_LATGEN", "0")
+    lat_py = latgen_lattice(graph, posts, **kw)
+    monkeypatch.setenv("PKA_NATIVE_LATGEN", "1")
+    lat_nat = latgen_lattice(graph, posts, **kw)
+    assert lat_nat.utt == "u1"
+    words_of = lambda lat: {l.word for l in lat.links}  # noqa: E731
+    assert words_of(lat_py) == words_of(lat_nat)
+    assert set(words_of(lat_nat)) <= set(id2word.values()) | {"<eps>"}
