@@ -41,7 +41,7 @@ def _require_live_backend(timeout_s=120):
     t.start()
     t.join(timeout_s)
     if t.is_alive():
-        print(json.dumps({
+        record = {
             "metric": "am_train_throughput",
             "value": 0.0,
             "unit": "frames/sec/chip",
@@ -49,9 +49,51 @@ def _require_live_backend(timeout_s=120):
             "error": f"accelerator init did not answer within {timeout_s}s "
                      "(axon tunnel relay dead? check "
                      "`ps aux | grep tpu_init`)",
-        }))
+        }
+        # Salvage the HOST-side headline metrics so a dead tunnel still
+        # yields driver-verified numbers (the hybrid graph search and the
+        # data pipeline never touch the chip).  Fresh subprocess: this
+        # process's jax backend init is wedged on the hung probe thread.
+        record.update(_host_only_subprocess())
+        print(json.dumps(record))
         sys.exit(2)
     return result["devices"]
+
+
+def _host_only_subprocess(timeout_s=900):
+    """Run ``bench.py --host-only`` in a clean CPU-jax process and return
+    its record (empty on any failure — never mask the primary error)."""
+    import subprocess
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--host-only"],
+            env=env, capture_output=True, text=True, timeout=timeout_s,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception as e:
+        return {"host_only_error": repr(e)[:200]}
+
+
+def host_only_record():
+    """Host-side metrics that involve no accelerator: the hybrid-path
+    graph-search RTF (native C++ latgen — the role the reference hands to
+    Kaldi's C++ decoders) and the host data-pipeline rate that bounds any
+    chip's feed."""
+    record = {}
+    try:
+        record.update(measure_hybrid_rtf())
+    except Exception as e:
+        record["hybrid_error"] = repr(e)[:200]
+    try:
+        _, _, host_rate, _ = measure_pipeline_e2e(steps=10, warmup=1,
+                                                  host_only=True)
+        record["host_pipeline_frames_per_sec"] = round(host_rate, 1)
+    except Exception as e:
+        record["host_pipeline_error"] = repr(e)[:200]
+    return record
 
 # recipe scale (reference run.sh:105-112): batch 100; length cap 500 frames
 BATCH = 100
@@ -184,7 +226,7 @@ def measure_torch_baseline(steps=2, warmup=1, batch=10):
     return batch * SRC_LEN * steps / dt
 
 
-def measure_pipeline_e2e(steps=30, warmup=3):
+def measure_pipeline_e2e(steps=30, warmup=3, host_only=False):
     """End-to-end input-pipeline throughput: ark read -> bucketed batching
     -> host->device prefetch -> jitted train step, on a TIMIT-shaped length
     distribution (the reference's measured bottleneck was exactly this path:
@@ -213,17 +255,13 @@ def measure_pipeline_e2e(steps=30, warmup=3):
 
     tmp = tempfile.mkdtemp(prefix="bench_e2e_")
     try:
-        n_utts = max(2 * BATCH, (steps + warmup) * BATCH // 4)
+        # >=2 full batches per bucket even at small `steps` (mode="drop"
+        # over num_buckets=4 yields nothing from a bucket under BATCH utts)
+        n_utts = max(8 * BATCH, (steps + warmup) * BATCH // 4)
         write_split(tmp, CorpusModel(feat_dim=SRC_DIM, seed=0), n_utts,
                     spk_seed=1, utt_seed=2)
         instances = read_instances(os.path.join(tmp, "text"))
         vocab = build_vocab(instances)
-        cfg = TransformerConfig(src_dim=SRC_DIM, vocab_size=len(vocab),
-                                compute_dtype=jnp.bfloat16)
-        params = init_transformer(jax.random.PRNGKey(0), cfg)
-        state, tx = create_train_state(params)
-        train_step = make_train_step(cfg, tx)
-
         loader = make_batch_loader(tmp, vocab, BATCH, mode="drop",
                                    num_buckets=4)
 
@@ -241,6 +279,14 @@ def measure_pipeline_e2e(steps=30, warmup=3):
                 b = next(hit)
             host_frames += b.src.shape[0] * b.src.shape[1]
         host_rate = host_frames / max(time.perf_counter() - t0, 1e-9)
+        if host_only:
+            return None, None, host_rate, None
+
+        cfg = TransformerConfig(src_dim=SRC_DIM, vocab_size=len(vocab),
+                                compute_dtype=jnp.bfloat16)
+        params = init_transformer(jax.random.PRNGKey(0), cfg)
+        state, tx = create_train_state(params)
+        train_step = make_train_step(cfg, tx)
 
         # transfer bandwidth, measured directly
         probe = np.zeros((4 << 20,), np.float32)  # 16 MB
@@ -492,4 +538,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--host-only" in sys.argv:
+        print(json.dumps(host_only_record()))
+    else:
+        main()
