@@ -199,29 +199,51 @@ def _sp_encode_local(params, cfg, src, mask, *, axis_name, train=False,
     return x
 
 
-def _sp_shard(body, mesh, seq_axis, src, mask):
-    """Run a per-shard encoder body under shard_map with the time axis
-    sharded (shared wrapper: jax version compat + divisibility check)."""
+def _shard_map_compat(body, **kw):
     try:
         from jax import shard_map  # jax >= 0.8
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
+    try:  # jax >= 0.8 names the replication check differently
+        return shard_map(body, check_vma=False, **kw)
+    except TypeError:  # pragma: no cover - older jax
+        return shard_map(body, check_rep=False, **kw)
 
+
+@partial(jax.jit,
+         static_argnames=("kind", "cfg", "mesh", "seq_axis", "train"))
+def _sp_encode_jit(params, src, mask, rng, *, kind, cfg, mesh, seq_axis,
+                   train):
+    """Jitted shard_map encoder forward, cached per (kind, cfg, mesh,
+    train, shapes).  Without the jit every call would dispatch the whole
+    stack op-by-op through the multi-device executor and re-trace —
+    hundreds of times slower on a CPU mesh, and a retrace per step in any
+    caller's loop."""
+    local = _LOCAL_BODIES[kind]
+
+    def body(params, src, mask, rng):
+        return local(params, cfg, src, mask, axis_name=seq_axis,
+                     train=train, rng=rng)
+
+    fn = _shard_map_compat(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(None, seq_axis, None), P(None, seq_axis), P()),
+        out_specs=P(None, seq_axis, None),
+    )
+    return fn(params, src, mask, rng)
+
+
+def _sp_shard(kind, params, cfg, mesh, seq_axis, src, mask, train, rng):
+    """Shared entry: divisibility check (eager, so it always raises) then
+    the cached jitted shard_map forward."""
     n = mesh.shape[seq_axis]
     if src.shape[1] % n != 0:
         raise ValueError(
             f"sequence length {src.shape[1]} not divisible by the "
             f"'{seq_axis}' mesh axis ({n}); pad with mask=0 frames")
-    kw = dict(
-        mesh=mesh,
-        in_specs=(P(None, seq_axis, None), P(None, seq_axis)),
-        out_specs=P(None, seq_axis, None),
-    )
-    try:  # jax >= 0.8 names the replication check differently
-        fn = shard_map(body, check_vma=False, **kw)
-    except TypeError:  # pragma: no cover - older jax
-        fn = shard_map(body, check_rep=False, **kw)
-    return fn(src, mask)
+    return _sp_encode_jit(params, src, mask, rng, kind=kind, cfg=cfg,
+                          mesh=mesh, seq_axis=seq_axis, train=train)
 
 
 def sp_banded_encode(params, cfg, src, mask, mesh, *, seq_axis="seq",
@@ -235,9 +257,8 @@ def sp_banded_encode(params, cfg, src, mask, mesh, *, seq_axis="seq",
     independent per-shard stream (:func:`per_shard_rng`).  The standard
     recipe training path still shards batch/model axes instead
     (parallel/mesh.py) since recipe utterances fit on one chip."""
-    return _sp_shard(partial(_sp_encode_local, params, cfg,
-                             axis_name=seq_axis, train=train, rng=rng),
-                     mesh, seq_axis, src, mask)
+    return _sp_shard("banded", params, cfg, mesh, seq_axis, src, mask,
+                     train, rng)
 
 
 # ---------------------------------------------------------------------------
@@ -340,9 +361,14 @@ def sp_conformer_encode(params, cfg, src, mask, mesh, *, seq_axis="seq",
     per layer: the attention band plus (kernel-1)//2 for the depthwise
     conv — both bounded, so collectives stay neighbor-only.  ``train=True,
     rng=key`` adds dropout with independent per-shard streams."""
-    return _sp_shard(partial(_sp_conformer_local, params, cfg,
-                             axis_name=seq_axis, train=train, rng=rng),
-                     mesh, seq_axis, src, mask)
+    return _sp_shard("conformer", params, cfg, mesh, seq_axis, src, mask,
+                     train, rng)
+
+
+_LOCAL_BODIES = {
+    "banded": _sp_encode_local,
+    "conformer": _sp_conformer_local,
+}
 
 
 SP_ENCODERS = {
