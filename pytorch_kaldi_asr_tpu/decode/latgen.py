@@ -17,6 +17,7 @@ posteriors into pseudo-likelihoods (see tools/compute_priors.py).
 from __future__ import annotations
 
 import math
+import weakref
 
 import numpy as np
 
@@ -37,6 +38,8 @@ class StreamingLatgen:
     def __init__(self, graph: Fst, *, acoustic_scale=1.0, beam=16.0,
                  max_active=2000, log_priors=None, sym_offset=1,
                  compact_threshold=None):
+        if graph.start < 0:
+            raise ValueError("decode graph has no start state")
         self.graph = graph
         self.acoustic_scale = acoustic_scale
         self.beam = beam
@@ -203,6 +206,8 @@ class _NativeGraph:
     number of decoder instances (one per stream)."""
 
     def __init__(self, graph: Fst, lib):
+        if graph.start < 0:
+            raise ValueError("decode graph has no start state")
         self._lib = lib
         n = graph.num_states
         n_arcs = graph.num_arcs
@@ -239,12 +244,27 @@ class _NativeGraph:
             self.handle = None
 
 
+def _graph_fingerprint(graph: Fst):
+    return (graph.start, graph.num_states, graph.num_arcs,
+            tuple(sorted(graph.final.items())))
+
+
+# keyed WEAKLY by the Fst (not stored on it: a ctypes-bearing attribute
+# would break deepcopy/pickle of any graph that has been decoded once);
+# entries carry a fingerprint so mutating the graph rebuilds the copy
+_NATIVE_GRAPHS: "weakref.WeakKeyDictionary[Fst, tuple]" = (
+    weakref.WeakKeyDictionary())
+
+
 def _native_graph(graph: Fst, lib):
-    cached = getattr(graph, "_pka_native_graph", None)
-    if cached is None:
-        cached = _NativeGraph(graph, lib)
-        graph._pka_native_graph = cached
-    return cached
+    """Native arc-copy cache, invalidated when the Fst is mutated after a
+    decode (add_arc/set_final/start change the fingerprint)."""
+    fp = _graph_fingerprint(graph)
+    ent = _NATIVE_GRAPHS.get(graph)
+    if ent is None or ent[0] != fp:
+        ent = (fp, _NativeGraph(graph, lib))
+        _NATIVE_GRAPHS[graph] = ent
+    return ent[1]
 
 
 class NativeStreamingLatgen:
@@ -269,6 +289,7 @@ class NativeStreamingLatgen:
             compact_threshold = max(65536, 64 * max_active)
         priors_p = None
         n_priors = 0
+        self._priors = None
         if log_priors is not None:
             self._priors = np.ascontiguousarray(log_priors, np.float64)
             priors_p = self._priors.ctypes.data_as(
@@ -295,6 +316,11 @@ class NativeStreamingLatgen:
 
     def push(self, log_posts):
         posts = np.ascontiguousarray(log_posts, np.float64)
+        if self._priors is not None and posts.shape[1] != len(self._priors):
+            raise ValueError(
+                f"posterior width {posts.shape[1]} != priors length "
+                f"{len(self._priors)} (same check the Python decoder's "
+                "broadcast raises)")
         ok = self._lib.pka_latgen_push(
             self._h,
             posts.ctypes.data_as(self._ct.POINTER(self._ct.c_double)),
@@ -407,6 +433,10 @@ def _native_latgen_lattice(graph, log_posts, *, acoustic_scale, beam,
     priors_p, n_priors = None, 0
     if log_priors is not None:
         priors = np.ascontiguousarray(log_priors, np.float64)
+        if posts.shape[1] != len(priors):
+            raise ValueError(
+                f"posterior width {posts.shape[1]} != priors length "
+                f"{len(priors)}")
         priors_p = priors.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
         n_priors = len(priors)
     h = lib.pka_latlat_create(ngraph.handle, float(acoustic_scale),

@@ -182,6 +182,10 @@ def lexicon_fst_silprob(lexicon, silprobs, word_syms, phone_syms, *,
         if word not in word_syms:
             continue
         for pron_prob, wsp, silc, nonsilc, phones in prons:
+            if not phones:
+                raise ValueError(
+                    f"empty pronunciation for word {word!r} (the reference "
+                    "make_lexicon_fst_silprob.pl rejects empty prons)")
             pron_cost = cost(pron_prob)
             cur = None
             for i, ph in enumerate(phones):

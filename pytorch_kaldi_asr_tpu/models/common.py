@@ -34,6 +34,22 @@ def position_encoding_table(n_position, d_model):
     return jnp.asarray(table, dtype=jnp.float32)
 
 
+def position_encoding_rows(positions, d_model):
+    """Closed-form rows of :func:`position_encoding_table` at arbitrary
+    integer ``positions`` [T] (position 0 is zeros, matching the table).
+    O(T*D) regardless of how large the positions are — streaming encoders
+    use this to fetch global-offset rows without materializing a table
+    that grows with stream age."""
+    pos = np.asarray(positions, dtype=np.float64)[:, None]
+    j = np.arange(d_model, dtype=np.float64)[None, :]
+    angle = pos / np.power(10000.0, 2 * (j // 2) / d_model)
+    rows = np.zeros((pos.shape[0], d_model), dtype=np.float64)
+    nz = pos[:, 0] != 0
+    rows[nz, 0::2] = np.sin(angle[nz, 0::2])
+    rows[nz, 1::2] = np.cos(angle[nz, 1::2])
+    return jnp.asarray(rows, dtype=jnp.float32)
+
+
 def padding_attn_mask(mask_q, mask_k):
     """True where attention must be BLOCKED because the key is padding.
 

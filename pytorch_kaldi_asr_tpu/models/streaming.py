@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pytorch_kaldi_asr_tpu.models.common import (
-    position_encoding_table,
+    position_encoding_rows,
 )
 from pytorch_kaldi_asr_tpu.models.transformer import (
     _Rngs,
@@ -229,9 +229,11 @@ class StreamingConformer:
         dtype = cfg.compute_dtype
         sd = cfg.conformer_stream_dtype
 
-        pos = position_encoding_table(
-            max(cfg.encoder_max_len, self._offset + t), cfg.en_d_model
-        )[self._offset : self._offset + t]
+        # closed-form rows at the global offsets: O(T*D) per push even
+        # hours into a stream (a full table rebuild would grow linearly
+        # with stream age), same values as the offline encoder's table
+        pos = position_encoding_rows(self._offset + np.arange(t),
+                                     cfg.en_d_model)
         x = chunk.astype(dtype) @ self.params["src_proj"]["w"].astype(dtype)
         x = x.astype(sd) + pos[None].astype(sd)
 
@@ -321,8 +323,6 @@ class StreamingBandedEncoder:
         # frame-by-frame streaming
         self.cfg = cfg.replace(ln_skip_len1=False)
         self.window = -start
-        self.pos_table = position_encoding_table(cfg.encoder_max_len,
-                                                 cfg.en_d_model)
         self._caches = None  # per layer: [B, window, D] of layer INPUT
         self._offset = 0
 
@@ -338,13 +338,16 @@ class StreamingBandedEncoder:
         rngs = _Rngs(None)
         dtype = cfg.compute_dtype
 
-        pos_idx = jnp.clip(
-            self._offset + jnp.arange(t), 0, cfg.encoder_max_len - 1
-        )
+        # closed-form global-offset rows: matches the offline encoder,
+        # which EXTRAPOLATES past encoder_max_len (encoders.py:140) — a
+        # clipped fixed table would diverge on streams longer than
+        # encoder_max_len and grow per-push cost with stream age
+        pos = position_encoding_rows(self._offset + np.arange(t),
+                                     cfg.en_d_model)
         x = jnp.asarray(chunk).astype(dtype) @ self.params["src_proj"][
             "w"
         ].astype(dtype)
-        x = x.astype(jnp.float32) + self.pos_table[pos_idx][None]
+        x = x.astype(jnp.float32) + pos[None]
 
         new_caches = []
         for li, layer in enumerate(self.params["layers"]):
@@ -370,7 +373,7 @@ class StreamingBandedEncoder:
             )
             x = feed_forward(layer["ffn"], x, cfg, 0.0, rngs, False)
 
-        out = x + self.pos_table[pos_idx][None]
+        out = x + pos[None]
         self._caches = new_caches
         self._offset += t
         return np.asarray(out)

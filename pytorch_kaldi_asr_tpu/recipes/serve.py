@@ -377,7 +377,16 @@ class HybridRecognizer:
         # scale with host cores — the role the reference hands to
         # multi-process Kaldi decode jobs (queue.pl JOB=1:N)
         self.decode_workers = decode_workers or min(8, os.cpu_count() or 1)
+        # created eagerly: lazy creation from recognize_many would race
+        # when two threads batch concurrently (duplicate executors, one
+        # leaking its idle workers for the process lifetime)
         self._decode_pool = None
+        if self.decode_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._decode_pool = ThreadPoolExecutor(
+                max_workers=self.decode_workers,
+                thread_name_prefix="graph-decode")
         self._search_lock = threading.Lock()
         self.graph_searches = 0
         self.graph_search_ms_total = 0.0
@@ -543,13 +552,7 @@ class HybridRecognizer:
         feats_list = [self.check_features(f) for f in feats_list]
         posts_list, lens = self._posteriors_many(feats_list,
                                                  batch_pad=batch_pad)
-        if self.decode_workers > 1 and len(posts_list) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            if self._decode_pool is None:
-                self._decode_pool = ThreadPoolExecutor(
-                    max_workers=self.decode_workers,
-                    thread_name_prefix="graph-decode")
+        if self._decode_pool is not None and len(posts_list) > 1:
             outs = list(self._decode_pool.map(
                 lambda p: self._timed_decode(p, nbest), posts_list))
         else:

@@ -360,3 +360,44 @@ def test_streaming_am_conformer_posteriors_match_offline():
     assert stream.flush() is None
     got = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(got, np.asarray(offline), atol=2e-4)
+
+
+def test_position_encoding_rows_match_table():
+    from pytorch_kaldi_asr_tpu.models.common import (
+        position_encoding_rows,
+        position_encoding_table,
+    )
+
+    table = np.asarray(position_encoding_table(50, 16))
+    idx = np.array([0, 1, 2, 7, 31, 49])
+    rows = np.asarray(position_encoding_rows(idx, 16))
+    np.testing.assert_array_equal(rows, table[idx])
+
+
+@pytest.mark.parametrize("enc", ["banded", "conformer"])
+def test_streaming_matches_offline_past_max_len(enc):
+    """Streams LONGER than encoder_max_len: the streaming encoders must
+    extrapolate positions closed-form exactly like the offline encoders
+    (encoders.py builds the table to max(encoder_max_len, S)); a clipped
+    fixed-size table would silently diverge past the cap."""
+    from pytorch_kaldi_asr_tpu.models.streaming import (
+        StreamingBandedEncoder,
+        StreamingConformer,
+    )
+
+    kw = dict(encoder_max_len=16)
+    if enc == "conformer":
+        kw["conformer_causal_conv"] = True
+    cfg = _cfg(enc, **kw)
+    params = init_transformer(jax.random.PRNGKey(12), cfg)
+    rng = np.random.default_rng(13)
+    s = 40  # well past encoder_max_len=16
+    src = rng.normal(size=(2, s, cfg.src_dim)).astype(np.float32)
+    mask = jnp.ones((2, s), jnp.uint8)
+    offline, _ = encode(params, cfg, jnp.asarray(src), mask)
+
+    cls = StreamingConformer if enc == "conformer" else StreamingBandedEncoder
+    stream = cls(params["encoder"], cfg)
+    outs = [stream.push(src[:, a : a + 8]) for a in range(0, s, 8)]
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, np.asarray(offline), atol=3e-4)

@@ -321,3 +321,15 @@ def test_lexicon_fst_silprob_paths_and_costs():
         costs.append((a.ilabel, a.weight))
     nosil_entry = dict(costs)[ph_ext["#s"]]
     assert abs(nosil_entry - (-math.log(1 - 0.7))) < 1e-9
+
+
+def test_lexicon_fst_silprob_rejects_empty_pron():
+    from pytorch_kaldi_asr_tpu.fst.graph import lexicon_fst_silprob
+
+    with pytest.raises(ValueError, match="empty pron"):
+        lexicon_fst_silprob(
+            {"uh": [(1.0, 0.5, 1.0, 1.0, [])]},
+            {"<s>": 0.5, "overall": 0.5},
+            {"uh": 1},
+            {"sil": 1, "u": 2, "h": 3},
+        )

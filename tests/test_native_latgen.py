@@ -221,3 +221,49 @@ def test_native_lattice_id2word_and_priors(graph, monkeypatch):
     words_of = lambda lat: {l.word for l in lat.links}  # noqa: E731
     assert words_of(lat_py) == words_of(lat_nat)
     assert set(words_of(lat_nat)) <= set(id2word.values()) | {"<eps>"}
+
+
+def test_native_priors_length_mismatch_raises(graph):
+    """The Python decoder's broadcast raises on a priors/posterior width
+    mismatch; the native wrapper must too (the C++ core would otherwise
+    read past the end of the priors vector)."""
+    posts = _posts(T=10, seed=12)
+    bad_priors = np.zeros(len(PHONES) - 2)
+    dec = NativeStreamingLatgen(graph, log_priors=bad_priors)
+    with pytest.raises(ValueError, match="priors"):
+        dec.push(posts)
+    from pytorch_kaldi_asr_tpu.decode.latgen import latgen_lattice
+    with pytest.raises(ValueError, match="priors"):
+        latgen_lattice(graph, posts, log_priors=bad_priors)
+
+
+def test_native_no_start_state_raises():
+    from pytorch_kaldi_asr_tpu.fst.core import Fst
+
+    g = Fst()
+    g.add_state()
+    with pytest.raises(ValueError, match="start"):
+        NativeStreamingLatgen(g)
+    with pytest.raises(ValueError, match="start"):
+        StreamingLatgen(g)
+
+
+def test_native_graph_cache_invalidated_on_mutation(graph, monkeypatch):
+    """Mutating the Fst after a native decode must rebuild the native arc
+    copy — stale caches would silently decode against the old graph.  The
+    deepcopy also pins that a decoded graph STAYS copyable (the native
+    handle lives in a weak side table, not on the Fst)."""
+    import copy
+
+    g = copy.deepcopy(graph)
+    posts = _posts(T=30, seed=13)
+    monkeypatch.setenv("PKA_NATIVE_LATGEN", "1")
+    before = latgen(g, posts)
+    assert before is not None
+    # route every final state through a high-cost penalty: best cost moves
+    penalty = 7.25
+    for s in list(g.final):
+        g.final[s] = g.final[s] + penalty
+    after = latgen(g, posts)
+    assert after is not None
+    assert after[2] == pytest.approx(before[2] + penalty, abs=1e-9)
