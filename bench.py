@@ -406,16 +406,20 @@ def measure_decode_and_int8(batch=8, frames=500, beam=25, max_len=100,
     def timed(search, p):
         r = search(p, cfg, src, mask, beam_size=beam, max_len=max_len)
         float(r.scores[0, 0])  # compile + sync
+        float(jnp.zeros((), jnp.float32))  # warm the rtt-probe kernel
         t0 = time.perf_counter()
         rtt = float(jnp.zeros((), jnp.float32))  # noqa: F841
         t_rtt = time.perf_counter() - t0
-        x = src
-        t0 = time.perf_counter()
+        # per-call sync, rtt subtracted per call: chaining iterations with
+        # eager glue ops measured unevenly on the tunnel transport (the
+        # glue dispatches inflated one leg by several x)
+        total = 0.0
         for _ in range(steps):
-            r = search(p, cfg, x, mask, beam_size=beam, max_len=max_len)
-            x = src + r.scores[0, 0] * 0.0  # chain for the tunnel
-        float(r.scores[0, 0])
-        return max(time.perf_counter() - t0 - t_rtt, 1e-9) / steps
+            t0 = time.perf_counter()
+            r = search(p, cfg, src, mask, beam_size=beam, max_len=max_len)
+            float(r.scores[0, 0])
+            total += max(time.perf_counter() - t0 - t_rtt, 1e-9)
+        return total / steps
 
     float_s = timed(fast_beam_search, params)
     q_params, _ = quantize_tree(params)

@@ -106,6 +106,120 @@ class StreamingTDNN:
         return emit
 
 
+# jitted per-push forwards, shared across streaming instances (serving
+# creates one streamer per session; cfg is a frozen dataclass, so keying
+# on it lets every session reuse the same compiled push).  On networked
+# accelerator transports (the axon tunnel) an EAGER push costs one
+# round-trip per op — ~dozens per chunk — so fusing the whole push into
+# one jitted call is the difference between ~300 ms and ~RTT per chunk.
+_JIT_PUSH = {}
+
+
+def _conformer_mhsa_chunk(p, x, keys, n_cache, cfg, window):
+    """Chunk MHSA against cached+current keys; numerics mirror
+    encoders._conformer_mhsa (post-LN, 1/sqrt(d_model) scale)."""
+    from pytorch_kaldi_asr_tpu.models.common import (
+        layer_norm,
+        masked_softmax,
+    )
+
+    dtype = cfg.compute_dtype
+    b, t, d_model = x.shape
+    residual = x
+    qs = jnp.einsum("bld,hdk->bhlk", x.astype(dtype),
+                    p["w_qs"].astype(dtype))
+    ks = jnp.einsum("bld,hdk->bhlk", keys.astype(dtype),
+                    p["w_ks"].astype(dtype))
+    vs = jnp.einsum("bld,hdv->bhlv", keys.astype(dtype),
+                    p["w_vs"].astype(dtype))
+    logits = jnp.einsum("bhqk,bhlk->bhql", qs, ks) / jnp.sqrt(
+        jnp.array(d_model, dtype=dtype))
+    qi = jnp.arange(t)[:, None]
+    kj = jnp.arange(keys.shape[1])[None, :]
+    rel = kj - (qi + n_cache)
+    blocked = ~((rel >= -window) & (rel <= 0))
+    attn = masked_softmax(logits.astype(jnp.float32),
+                          blocked[None, None]).astype(dtype)
+    out = jnp.einsum("bhql,bhlv->bhqv", attn, vs)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, -1)
+    out = out @ p["proj"]["w"].astype(dtype) + p["proj"]["b"].astype(dtype)
+    out = (out + residual).astype(cfg.conformer_stream_dtype)
+    return layer_norm(out, p["ln"]["gamma"], p["ln"]["beta"],
+                      skip_len1=False)
+
+
+def _conformer_conv_chunk(p, x, conv_cache, cfg):
+    """Causal conv module over [cached GLU frames | chunk].  Returns
+    (chunk outputs, new cache)."""
+    import jax
+
+    from pytorch_kaldi_asr_tpu.models.common import layer_norm
+
+    dtype = cfg.compute_dtype
+    residual = x
+    h = layer_norm(x, p["ln"]["gamma"], p["ln"]["beta"], skip_len1=False)
+    h = h.astype(dtype) @ p["pw1"]["w"].astype(dtype) + p["pw1"][
+        "b"].astype(dtype)
+    a, g = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.sigmoid(g)  # GLU
+    kernel = p["dw"]["w"].astype(dtype)  # [K, D]
+    k = kernel.shape[0]
+    conv_in = jnp.concatenate([conv_cache.astype(h.dtype), h], axis=1)
+    new_cache = conv_in[:, -(k - 1):] if k > 1 else conv_in[:, :0]
+    y = jax.lax.conv_general_dilated(
+        conv_in.transpose(0, 2, 1), kernel.T[:, None, :],
+        window_strides=(1,), padding=[(0, 0)],  # cache IS the padding
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        feature_group_count=conv_in.shape[-1],
+    ).transpose(0, 2, 1) + p["dw"]["b"].astype(dtype)
+    y = y.astype(cfg.conformer_stream_dtype)
+    y = layer_norm(y, p["norm"]["gamma"], p["norm"]["beta"],
+                   skip_len1=False)
+    y = jax.nn.swish(y)
+    y = y.astype(dtype) @ p["pw2"]["w"].astype(dtype) + p["pw2"][
+        "b"].astype(dtype)
+    return residual + y.astype(cfg.conformer_stream_dtype), new_cache
+
+
+def _conformer_push_jit(cfg):
+    """One fused jitted device call per push: src_proj + positions + all
+    layers (half-FFN / cached MHSA / cached causal conv / half-FFN), with
+    the carried caches as pytree inputs/outputs that stay on device."""
+    key = ("conformer", cfg)
+    fn = _JIT_PUSH.get(key)
+    if fn is not None:
+        return fn
+    import jax
+
+    from pytorch_kaldi_asr_tpu.models.encoders import _half_ffn
+
+    window = -cfg.encoder_sub_sequence[0]
+
+    def push_fn(params, chunk, pos, attn_caches, conv_caches):
+        dtype = cfg.compute_dtype
+        sd = cfg.conformer_stream_dtype
+        rngs = _Rngs(None)
+        x = chunk.astype(dtype) @ params["src_proj"]["w"].astype(dtype)
+        x = x.astype(sd) + pos[None].astype(sd)
+        new_attn, new_conv = [], []
+        for li, layer in enumerate(params["layers"]):
+            x = _half_ffn(layer["ffn1"], x, cfg, 0.0, rngs, False)
+            cache = attn_caches[li]
+            keys = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+            n_cache = cache.shape[1]  # static under jit
+            new_attn.append(keys[:, -window:] if window else keys[:, :0])
+            x = _conformer_mhsa_chunk(layer["mhsa"], x, keys, n_cache,
+                                      cfg, window)
+            x, nc = _conformer_conv_chunk(layer["conv"], x,
+                                          conv_caches[li], cfg)
+            new_conv.append(nc)
+            x = _half_ffn(layer["ffn2"], x, cfg, 0.0, rngs, False)
+        return x, tuple(new_attn), tuple(new_conv)
+
+    fn = _JIT_PUSH[key] = jax.jit(push_fn)
+    return fn
+
+
 class StreamingConformer:
     """Exact chunked inference for the Conformer encoder.
 
@@ -149,114 +263,42 @@ class StreamingConformer:
         self._conv_caches = None
         self._offset = 0
 
-    def _mhsa(self, p, x, keys, n_cache):
-        """Chunk MHSA against cached+current keys; numerics mirror
-        encoders._conformer_mhsa (post-LN, 1/sqrt(d_model) scale)."""
-        from pytorch_kaldi_asr_tpu.models.common import (
-            layer_norm,
-            masked_softmax,
-        )
-
-        cfg = self.cfg
-        dtype = cfg.compute_dtype
-        b, t, d_model = x.shape
-        residual = x
-        qs = jnp.einsum("bld,hdk->bhlk", x.astype(dtype),
-                        p["w_qs"].astype(dtype))
-        ks = jnp.einsum("bld,hdk->bhlk", keys.astype(dtype),
-                        p["w_ks"].astype(dtype))
-        vs = jnp.einsum("bld,hdv->bhlv", keys.astype(dtype),
-                        p["w_vs"].astype(dtype))
-        logits = jnp.einsum("bhqk,bhlk->bhql", qs, ks) / jnp.sqrt(
-            jnp.array(d_model, dtype=dtype))
-        qi = jnp.arange(t)[:, None]
-        kj = jnp.arange(keys.shape[1])[None, :]
-        rel = kj - (qi + n_cache)
-        blocked = ~((rel >= -self.window) & (rel <= 0))
-        attn = masked_softmax(logits.astype(jnp.float32),
-                              blocked[None, None]).astype(dtype)
-        out = jnp.einsum("bhql,bhlv->bhqv", attn, vs)
-        out = out.transpose(0, 2, 1, 3).reshape(b, t, -1)
-        out = out @ p["proj"]["w"].astype(dtype) + p["proj"]["b"].astype(dtype)
-        out = (out + residual).astype(cfg.conformer_stream_dtype)
-        return layer_norm(out, p["ln"]["gamma"], p["ln"]["beta"],
-                          skip_len1=False)
-
-    def _conv(self, p, x, conv_cache):
-        """Causal conv module over [cached GLU frames | chunk].  Returns
-        (chunk outputs, new cache)."""
-        import jax
-
-        from pytorch_kaldi_asr_tpu.models.common import layer_norm
-
-        cfg = self.cfg
-        dtype = cfg.compute_dtype
-        residual = x
-        h = layer_norm(x, p["ln"]["gamma"], p["ln"]["beta"], skip_len1=False)
-        h = h.astype(dtype) @ p["pw1"]["w"].astype(dtype) + p["pw1"][
-            "b"].astype(dtype)
-        a, g = jnp.split(h, 2, axis=-1)
-        h = a * jax.nn.sigmoid(g)  # GLU
-        kernel = p["dw"]["w"].astype(dtype)  # [K, D]
-        k = kernel.shape[0]
-        if conv_cache is None:
-            conv_cache = jnp.zeros((x.shape[0], k - 1, h.shape[-1]), h.dtype)
-        conv_in = jnp.concatenate([conv_cache.astype(h.dtype), h], axis=1)
-        new_cache = conv_in[:, -(k - 1):] if k > 1 else conv_in[:, :0]
-        y = jax.lax.conv_general_dilated(
-            conv_in.transpose(0, 2, 1), kernel.T[:, None, :],
-            window_strides=(1,), padding=[(0, 0)],  # cache IS the padding
-            dimension_numbers=("NCW", "OIW", "NCW"),
-            feature_group_count=conv_in.shape[-1],
-        ).transpose(0, 2, 1) + p["dw"]["b"].astype(dtype)
-        y = y.astype(cfg.conformer_stream_dtype)
-        y = layer_norm(y, p["norm"]["gamma"], p["norm"]["beta"],
-                       skip_len1=False)
-        y = jax.nn.swish(y)
-        y = y.astype(dtype) @ p["pw2"]["w"].astype(dtype) + p["pw2"][
-            "b"].astype(dtype)
-        return residual + y.astype(cfg.conformer_stream_dtype), new_cache
-
-    def push(self, chunk):
-        """Feed [B, T, D] frames; returns [B, T, en_d_model] outputs
-        (latency = 0 frames: band and conv are both causal)."""
-        from pytorch_kaldi_asr_tpu.models.encoders import _half_ffn
-
+    def push_device(self, chunk):
+        """Feed [B, T, D] frames; returns [B, T, en_d_model] outputs as a
+        DEVICE array (no host sync — composable with a downstream jitted
+        head without paying a transfer round-trip).  The whole push is
+        ONE jitted device call (see _conformer_push_jit); caches live on
+        device between pushes."""
         cfg = self.cfg
         chunk = jnp.asarray(chunk)
         b, t, _ = chunk.shape
-        rngs = _Rngs(None)
-        dtype = cfg.compute_dtype
-        sd = cfg.conformer_stream_dtype
+        if self._attn_caches is None:
+            layers = self.params["layers"]
+            self._attn_caches = tuple(
+                jnp.zeros((b, 0, cfg.en_d_model), cfg.conformer_stream_dtype)
+                for _ in layers)
+            # conv caches hold post-GLU activations (compute dtype), width
+            # kernel-1 — zeros are exactly the causal conv's left padding
+            self._conv_caches = tuple(
+                jnp.zeros((b, lay["conv"]["dw"]["w"].shape[0] - 1,
+                           lay["conv"]["pw1"]["w"].shape[1] // 2),
+                          cfg.compute_dtype)
+                for lay in layers)
 
         # closed-form rows at the global offsets: O(T*D) per push even
         # hours into a stream (a full table rebuild would grow linearly
         # with stream age), same values as the offline encoder's table
         pos = position_encoding_rows(self._offset + np.arange(t),
                                      cfg.en_d_model)
-        x = chunk.astype(dtype) @ self.params["src_proj"]["w"].astype(dtype)
-        x = x.astype(sd) + pos[None].astype(sd)
-
-        n_layers = len(self.params["layers"])
-        if self._attn_caches is None:
-            self._attn_caches = [None] * n_layers
-            self._conv_caches = [None] * n_layers
-        for li, layer in enumerate(self.params["layers"]):
-            x = _half_ffn(layer["ffn1"], x, cfg, 0.0, rngs, False)
-            cache = self._attn_caches[li]
-            if cache is None:
-                keys, n_cache = x, 0
-            else:
-                keys = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
-                n_cache = cache.shape[1]
-            if self.window:
-                self._attn_caches[li] = keys[:, -self.window:]
-            x = self._mhsa(layer["mhsa"], x, keys, n_cache)
-            x, self._conv_caches[li] = self._conv(layer["conv"], x,
-                                                  self._conv_caches[li])
-            x = _half_ffn(layer["ffn2"], x, cfg, 0.0, rngs, False)
+        out, self._attn_caches, self._conv_caches = _conformer_push_jit(cfg)(
+            self.params, chunk, pos, self._attn_caches, self._conv_caches)
         self._offset += t
-        return np.asarray(x)
+        return out
+
+    def push(self, chunk):
+        """Feed [B, T, D] frames; returns [B, T, en_d_model] host outputs
+        (latency = 0 frames: band and conv are both causal)."""
+        return np.asarray(self.push_device(chunk))
 
     def flush(self):
         """Causal model: nothing is pending at end of stream."""
@@ -289,14 +331,30 @@ class StreamingAM:
         self.encoder.reset()
 
     def _head(self, enc):
-        from pytorch_kaldi_asr_tpu.models.am import head_log_posteriors
+        key = ("am_head", self.cfg, self.log_priors is None)
+        fn = _JIT_PUSH.get(key)
+        if fn is None:
+            import jax
 
-        return np.asarray(head_log_posteriors(
-            self.params, self.cfg, jnp.asarray(enc),
-            log_priors=self.log_priors))
+            from pytorch_kaldi_asr_tpu.models.am import head_log_posteriors
+
+            cfg = self.cfg
+            if self.log_priors is None:
+                fn = jax.jit(lambda p, e: head_log_posteriors(p, cfg, e))
+            else:
+                fn = jax.jit(lambda p, e, lp: head_log_posteriors(
+                    p, cfg, e, log_priors=lp))
+            _JIT_PUSH[key] = fn
+        args = (self.params, jnp.asarray(enc))
+        if self.log_priors is not None:
+            args += (jnp.asarray(self.log_priors),)
+        return np.asarray(fn(*args))
 
     def push(self, chunk):
-        enc = self.encoder.push(chunk)
+        # push_device keeps the encoder chunk on device so encoder + head
+        # cost ONE host sync per push, not two (the two jitted calls
+        # dispatch asynchronously; only the final np.asarray blocks)
+        enc = self.encoder.push_device(chunk)
         return None if enc is None else self._head(enc)
 
     def flush(self):
@@ -304,6 +362,46 @@ class StreamingAM:
         out = None if enc is None else self._head(enc)
         self.encoder.reset()
         return out
+
+
+def _banded_push_jit(cfg):
+    """Fused jitted push for the banded encoder: src_proj + positions +
+    every (cached banded MHSA, FFN) layer in one device call."""
+    key = ("banded", cfg)
+    fn = _JIT_PUSH.get(key)
+    if fn is not None:
+        return fn
+    import jax
+
+    window = -cfg.encoder_sub_sequence[0]
+
+    def push_fn(params, chunk, pos, caches):
+        dtype = cfg.compute_dtype
+        rngs = _Rngs(None)
+        b, t = chunk.shape[0], chunk.shape[1]
+        x = chunk.astype(dtype) @ params["src_proj"]["w"].astype(dtype)
+        x = x.astype(jnp.float32) + pos[None]
+        new_caches = []
+        for li, layer in enumerate(params["layers"]):
+            cache = caches[li]
+            keys = jnp.concatenate([cache, x], axis=1)
+            n_cache = cache.shape[1]  # static under jit
+            # blocked mask over [T, n_cache+T]: query i (global q = i) may
+            # attend key j when 0 <= (i + n_cache - j) <= window
+            qi = jnp.arange(t)[:, None]
+            kj = jnp.arange(n_cache + t)[None, :]
+            rel = kj - (qi + n_cache)
+            blocked = ~((rel >= -window) & (rel <= 0))
+            blocked = jnp.broadcast_to(blocked[None], (b,) + blocked.shape)
+            new_caches.append(keys[:, -window:] if window else keys[:, :0])
+            x = multi_head_attention(
+                layer["slf"], x, keys, keys, blocked, cfg, 0.0, rngs, False
+            )
+            x = feed_forward(layer["ffn"], x, cfg, 0.0, rngs, False)
+        return x + pos[None], tuple(new_caches)
+
+    fn = _JIT_PUSH[key] = jax.jit(push_fn)
+    return fn
 
 
 class StreamingBandedEncoder:
@@ -330,13 +428,18 @@ class StreamingBandedEncoder:
         self._caches = None
         self._offset = 0
 
-    def push(self, chunk):
-        """Feed [B, T, D] frames; returns [B, T, en_d_model] outputs
-        (latency = 0 frames: the band is causal)."""
+    def push_device(self, chunk):
+        """Feed [B, T, D] frames; returns [B, T, en_d_model] outputs as a
+        DEVICE array (latency = 0 frames: the band is causal).  One jitted
+        device call per push (see _banded_push_jit); K/V input caches stay
+        on device."""
         cfg = self.cfg
+        chunk = jnp.asarray(chunk)
         b, t, _ = chunk.shape
-        rngs = _Rngs(None)
-        dtype = cfg.compute_dtype
+        if self._caches is None:
+            self._caches = tuple(
+                jnp.zeros((b, 0, cfg.en_d_model), jnp.float32)
+                for _ in self.params["layers"])
 
         # closed-form global-offset rows: matches the offline encoder,
         # which EXTRAPOLATES past encoder_max_len (encoders.py:140) — a
@@ -344,39 +447,14 @@ class StreamingBandedEncoder:
         # encoder_max_len and grow per-push cost with stream age
         pos = position_encoding_rows(self._offset + np.arange(t),
                                      cfg.en_d_model)
-        x = jnp.asarray(chunk).astype(dtype) @ self.params["src_proj"][
-            "w"
-        ].astype(dtype)
-        x = x.astype(jnp.float32) + pos[None]
-
-        new_caches = []
-        for li, layer in enumerate(self.params["layers"]):
-            cache = None if self._caches is None else self._caches[li]
-            if cache is None:
-                keys = x
-                n_cache = 0
-            else:
-                keys = jnp.concatenate([cache, x], axis=1)
-                n_cache = cache.shape[1]
-            # blocked mask over [T, n_cache+T]: query i (global q = i) may
-            # attend key j when 0 <= (i + n_cache - j) <= window
-            qi = jnp.arange(t)[:, None]
-            kj = jnp.arange(n_cache + t)[None, :]
-            rel = kj - (qi + n_cache)
-            blocked = ~((rel >= -self.window) & (rel <= 0))
-            blocked = jnp.broadcast_to(blocked[None], (b,) + blocked.shape)
-            new_caches.append(
-                np.asarray(keys[:, -self.window:]) if self.window else None
-            )
-            x = multi_head_attention(
-                layer["slf"], x, keys, keys, blocked, cfg, 0.0, rngs, False
-            )
-            x = feed_forward(layer["ffn"], x, cfg, 0.0, rngs, False)
-
-        out = x + pos[None]
-        self._caches = new_caches
+        out, self._caches = _banded_push_jit(cfg)(
+            self.params, chunk, pos, self._caches)
         self._offset += t
-        return np.asarray(out)
+        return out
+
+    def push(self, chunk):
+        """Feed [B, T, D] frames; returns host outputs (see push_device)."""
+        return np.asarray(self.push_device(chunk))
 
     def flush(self):
         """Causal band: nothing is pending at end of stream."""

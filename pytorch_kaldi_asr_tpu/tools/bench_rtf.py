@@ -184,6 +184,15 @@ def bench_hybrid(beam=16.0, max_active=2000, repeats=3):
         latgen,
     )
 
+    if not native.available():
+        # fresh checkout: build the C++ core so the production path (and
+        # the native-vs-python speedup) is what gets measured, not the
+        # fallback; stay graceful where there is no compiler
+        try:
+            native.build()
+        except Exception:
+            pass
+
     graph, log_posts = hybrid_bench_setup()
     audio_sec = log_posts.shape[0] * 0.01
 
