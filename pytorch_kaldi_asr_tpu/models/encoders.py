@@ -279,6 +279,7 @@ def _conformer_mhsa(p, x, src_mask, cfg, rate, rngs, train):
     ``multi_head_attention`` (pinned by tests at f32)."""
     from pytorch_kaldi_asr_tpu.ops.banded_attention import (
         banded_attention_blocked,
+        banded_attention_trainable,
     )
 
     b, s, d_model = x.shape
@@ -296,13 +297,28 @@ def _conformer_mhsa(p, x, src_mask, cfg, rate, rngs, train):
     kv = jnp.repeat(
         jnp.pad(src_mask, ((0, 0), (0, sp - s))).astype(jnp.int32), h, axis=0
     )
-    out = banded_attention_blocked(
-        qs.reshape(b * h, sp, d_k), ks.reshape(b * h, sp, d_k),
-        vs.reshape(b * h, sp, d_v), kv,
-        start=start, end=end, scale=1.0 / float(d_model) ** 0.5,
-        dropout_rate=rate if train else 0.0, rng=rngs.next(),
-        block_q=block_q,
-    )
+    scale = 1.0 / float(d_model) ** 0.5
+    attn_key = rngs.next()
+    if os.environ.get("PKA_CONF_ATTN", "blocked") == "pallas":
+        # A/B knob (profile-guided kernel work): the flash-style Pallas
+        # kernel with dtype-native dots instead of the blocked-XLA path.
+        drop = train and rate > 0 and attn_key is not None
+        seed = (jax.random.randint(attn_key, (), 0, 2**31 - 1,
+                                   dtype=jnp.int32) if drop else jnp.int32(0))
+        out = banded_attention_trainable(
+            qs.reshape(b * h, sp, d_k), ks.reshape(b * h, sp, d_k),
+            vs.reshape(b * h, sp, d_v), kv, seed, start, end, scale,
+            float(rate) if drop else 0.0, block_q,
+            jax.default_backend() != "tpu",  # interpret off-TPU (CPU tests)
+        )
+    else:
+        out = banded_attention_blocked(
+            qs.reshape(b * h, sp, d_k), ks.reshape(b * h, sp, d_k),
+            vs.reshape(b * h, sp, d_v), kv,
+            start=start, end=end, scale=scale,
+            dropout_rate=rate if train else 0.0, rng=attn_key,
+            block_q=block_q,
+        )
     out = out.reshape(b, h, sp, d_v)[:, :, :s].transpose(0, 2, 1, 3)
     out = out.reshape(b, s, h * d_v)
     out = out @ p["proj"]["w"].astype(dtype) + p["proj"]["b"].astype(dtype)

@@ -63,13 +63,16 @@ def _kernel(q_ref, k_ref, v_ref, kv_ref, out_ref, m_ref, l_ref, acc_ref, *,
 
     @pl.when(in_range)
     def _accumulate():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
+        # dots run in the INPUT dtype with f32 accumulation
+        # (preferred_element_type): bf16xbf16->f32 uses the MXU at full
+        # rate, ~4x the f32xf32 rate; softmax statistics stay in f32.
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # [BQ, BQ]
+        ) * scale  # [BQ, BQ] f32
 
         q_pos = qi * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_q), 0
@@ -91,7 +94,7 @@ def _kernel(q_ref, k_ref, v_ref, kv_ref, out_ref, m_ref, l_ref, acc_ref, *,
         )
         l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = alpha * acc_ref[:] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_ref[:] = m_new
@@ -196,9 +199,10 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, kv_ref, out_ref, lse_ref,
 
     @pl.when(in_range)
     def _accumulate():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
+        # dots in the input dtype, f32 accumulation (see _kernel)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -227,7 +231,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, kv_ref, out_ref, lse_ref,
         else:
             p_acc = p
         acc_ref[:] = alpha * acc_ref[:] + jax.lax.dot_general(
-            p_acc, v, (((1,), (0,)), ((), ())),
+            p_acc.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_ref[:] = m_new
@@ -263,10 +267,13 @@ def _dq_kernel(seed_ref, q_ref, k_ref, do_ref, lse_ref, delta_ref, kv_ref,
 
     @pl.when(in_range)
     def _accumulate():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        # dots in the input dtype, f32 accumulation (see _kernel); the
+        # probability reconstruction exp(s - lse) matches the forward
+        # bit-for-bit because both compute s with the same-dtype dot
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
         lse = lse_ref[0][:, 0]
         delta = delta_ref[0][:, 0]
 
@@ -294,7 +301,7 @@ def _dq_kernel(seed_ref, q_ref, k_ref, do_ref, lse_ref, delta_ref, kv_ref,
             dp = jnp.where(keep, dp, 0.0) / (1.0 - dropout_rate)
         ds = a * (dp - delta[:, None])
         acc_ref[:] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
 
@@ -322,10 +329,11 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(in_range)
     def _accumulate():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        # dots in the input dtype, f32 accumulation (see _kernel)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
         lse = lse_ref[0][:, 0]
         delta = delta_ref[0][:, 0]
 
@@ -352,7 +360,7 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             a_drop = a
         # dv += (A∘D)^T dO
         dv_acc[:] += jax.lax.dot_general(
-            a_drop, do, (((0,), (0,)), ((), ())),
+            a_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
@@ -364,7 +372,7 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         ds = a * (dp - delta[:, None])
         # dk += dS^T q * scale
         dk_acc[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
 

@@ -101,6 +101,38 @@ def test_trainable_grads_match_oracle_autodiff():
             err_msg=f"d{name} mismatch")
 
 
+def test_trainable_bf16_dots_match_f32_oracle():
+    # the kernels keep bf16 inputs in bf16 for the MXU dots (f32
+    # accumulation); forward and grads must track the f32 oracle within
+    # bf16 tolerance
+    q, k, v, valid = _inputs(bh=2, s=256, d=16, pad_tail=40)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    out = _tr(qb, kb, vb, valid, jnp.int32(3))
+    assert out.dtype == jnp.bfloat16
+    ref = banded_attention_reference(q, k, v, valid, -100, 0, 0.125)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref), rtol=0.05, atol=0.05)
+
+    w = jnp.asarray(
+        np.random.default_rng(5).normal(size=q.shape).astype(np.float32))
+
+    def loss_tr(q, k, v):
+        return (_tr(q, k, v, valid, jnp.int32(3)).astype(jnp.float32)
+                * w).sum()
+
+    def loss_ref(q, k, v):
+        return (banded_attention_reference(q, k, v, valid, -100, 0, 0.125)
+                * w).sum()
+
+    g_tr = jax.grad(loss_tr, argnums=(0, 1, 2))(qb, kb, vb)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_tr, g_ref):
+        scale = max(1.0, float(np.abs(np.asarray(b)).max()))
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32) / scale, np.asarray(b) / scale,
+            atol=0.06, err_msg=f"d{name} mismatch (bf16)")
+
+
 def test_trainable_dropout_deterministic_and_unbiased():
     q, k, v, valid = _inputs(bh=2, s=256, d=16)
     out1 = _tr(q, k, v, valid, jnp.int32(11), rate=0.3)

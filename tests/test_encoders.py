@@ -273,6 +273,19 @@ def test_conformer_bf16_stream_close_to_f32_stream():
     assert max(float(jnp.abs(g).max()) for g in leaves) > 0
 
 
+def test_conformer_pallas_attn_matches_blocked(monkeypatch):
+    """The PKA_CONF_ATTN=pallas A/B route (flash kernel, interpret mode on
+    CPU) must match the default blocked-XLA attention at inference."""
+    cfg = _cfg("conformer")
+    params = init_transformer(jax.random.PRNGKey(7), cfg)
+    src, mask = _batch(cfg)
+    base, _ = encode(params, cfg, src, mask)
+    monkeypatch.setenv("PKA_CONF_ATTN", "pallas")
+    alt, _ = encode(params, cfg, src, mask)
+    np.testing.assert_allclose(np.asarray(alt), np.asarray(base),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_conformer_grads_finite_with_padded_frames():
     """Regression: the conv module emits exactly-zero rows at padded
     frames (zero-init biases); layer_norm's sqrt backward at var==0 used
