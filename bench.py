@@ -526,13 +526,27 @@ def main():
             return out
 
         def _streaming():
+            import jax.numpy as jnp
+
             from pytorch_kaldi_asr_tpu.tools.bench_rtf import (
                 bench_streaming_conformer,
             )
 
             r = bench_streaming_conformer(frames=200, steps=2)
+            # each push returns host posteriors, so one tunnel round-trip
+            # is inherent per push; report the bare RTT so the JSON line
+            # carries the tunnel-floor vs on-chip-compute decomposition
+            # (BASELINE.md round-3 streaming row)
+            float(jnp.zeros((), jnp.float32))
+            rtts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                float(jnp.zeros((), jnp.float32))
+                rtts.append(time.perf_counter() - t0)
+            rtt_ms = sorted(rtts)[len(rtts) // 2] * 1e3
             return {"streaming_conformer_rtf": r["value"],
-                    "streaming_push_ms_p50": r["push_ms_p50"]}
+                    "streaming_push_ms_p50": r["push_ms_p50"],
+                    "tunnel_rtt_ms_p50": round(rtt_ms, 1)}
 
         _sub("conformer", _conformer)
         _sub("decode_int8", measure_decode_and_int8)
