@@ -56,7 +56,7 @@ $RUNREF train.py \
     -epoch "$EPOCHS" -batch_size "$BATCH" -save_interval 1 > train.log 2>&1
 tail -3 train.log
 
-model_file=$(ls -d combined.accu*.torch | head -1)
+model_file=$(ls -dt combined.accu*.torch | head -1)
 echo "[stage 5] decode with $model_file (beam $BEAM, nbest $NBEST)"
 for dir in dev test; do
     decode_dir=decode_${dir}

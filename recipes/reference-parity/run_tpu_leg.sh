@@ -53,7 +53,9 @@ $PY pytorch_kaldi_asr_tpu.recipes.train \
     -epoch "$EPOCHS" -batch_size "$BATCH" -save_interval 1 > train.log 2>&1
 tail -3 train.log
 
-model_file=$(ls -d combined.accu*)
+# newest combined checkpoint (robust to leftovers from an earlier run
+# in the same work dir — `ls -d` with two matches mangles the path)
+model_file=$(ls -dt combined.accu* | head -1)
 echo "[stage 5] decode with $model_file (beam $BEAM, nbest $NBEST)"
 for dir in dev test; do
     decode_dir=decode_${dir}
