@@ -115,6 +115,17 @@ class StreamingTDNN:
 _JIT_PUSH = {}
 
 
+def _memo_jit(key, builder):
+    """Get-or-build the shared compiled push for ``key`` — the single
+    memoization point for every jitted streaming entry (conformer push,
+    banded push, AM head), so cache keying/eviction policy lives in one
+    place."""
+    fn = _JIT_PUSH.get(key)
+    if fn is None:
+        fn = _JIT_PUSH[key] = builder()
+    return fn
+
+
 def _conformer_mhsa_chunk(p, x, keys, n_cache, cfg, window):
     """Chunk MHSA against cached+current keys; numerics mirror
     encoders._conformer_mhsa (post-LN, 1/sqrt(d_model) scale)."""
@@ -185,12 +196,15 @@ def _conformer_push_jit(cfg):
     """One fused jitted device call per push: src_proj + positions + all
     layers (half-FFN / cached MHSA / cached causal conv / half-FFN), with
     the carried caches as pytree inputs/outputs that stay on device."""
-    key = ("conformer", cfg)
-    fn = _JIT_PUSH.get(key)
-    if fn is not None:
-        return fn
-    import jax
+    def build():
+        import jax
 
+        return jax.jit(_conformer_push_fn(cfg))
+
+    return _memo_jit(("conformer", cfg), build)
+
+
+def _conformer_push_fn(cfg):
     from pytorch_kaldi_asr_tpu.models.encoders import _half_ffn
 
     window = -cfg.encoder_sub_sequence[0]
@@ -216,8 +230,7 @@ def _conformer_push_jit(cfg):
             x = _half_ffn(layer["ffn2"], x, cfg, 0.0, rngs, False)
         return x, tuple(new_attn), tuple(new_conv)
 
-    fn = _JIT_PUSH[key] = jax.jit(push_fn)
-    return fn
+    return push_fn
 
 
 class StreamingConformer:
@@ -325,29 +338,36 @@ class StreamingAM:
         assert cfg.encoder_type in ENCODER_APPLYS
         self.params = params
         self.cfg = cfg
-        self.log_priors = log_priors
+        if log_priors is None:
+            self.log_priors = None
+        else:
+            # one host->device transfer at construction; a host array here
+            # would re-transfer on EVERY push (the latency path)
+            import jax
+
+            self.log_priors = jax.device_put(jnp.asarray(log_priors))
 
     def reset(self):
         self.encoder.reset()
 
     def _head(self, enc):
-        key = ("am_head", self.cfg, self.log_priors is None)
-        fn = _JIT_PUSH.get(key)
-        if fn is None:
+        cfg = self.cfg
+        with_priors = self.log_priors is not None
+
+        def build():
             import jax
 
             from pytorch_kaldi_asr_tpu.models.am import head_log_posteriors
 
-            cfg = self.cfg
-            if self.log_priors is None:
-                fn = jax.jit(lambda p, e: head_log_posteriors(p, cfg, e))
-            else:
-                fn = jax.jit(lambda p, e, lp: head_log_posteriors(
-                    p, cfg, e, log_priors=lp))
-            _JIT_PUSH[key] = fn
+            if not with_priors:
+                return jax.jit(lambda p, e: head_log_posteriors(p, cfg, e))
+            return jax.jit(lambda p, e, lp: head_log_posteriors(
+                p, cfg, e, log_priors=lp))
+
+        fn = _memo_jit(("am_head", cfg, not with_priors), build)
         args = (self.params, jnp.asarray(enc))
-        if self.log_priors is not None:
-            args += (jnp.asarray(self.log_priors),)
+        if with_priors:
+            args += (self.log_priors,)
         return np.asarray(fn(*args))
 
     def push(self, chunk):
@@ -364,15 +384,81 @@ class StreamingAM:
         return out
 
 
+class FixedChunkStream:
+    """Decouples CLIENT push sizes from the jitted push shape.
+
+    The fused streaming pushes (``_conformer_push_jit`` /
+    ``_banded_push_jit``) compile once per (chunk length, cache width);
+    a client that streams arbitrary chunk sizes (nothing in the HTTP
+    contract enforces one) would trigger a fresh XLA compile per new
+    length — multi-second stalls mid-session and an unboundedly growing
+    executable cache in a long-lived server.  This adapter buffers
+    incoming frames and forwards fixed ``chunk``-frame pushes, so the
+    whole server compiles exactly ONE push shape per config.
+
+    The ragged tail is pushed at :meth:`flush` padded up to ``chunk``
+    frames with the padded outputs sliced off — EXACT for these
+    frontends: their attention band and conv are causal, so padding sits
+    strictly in the future of every valid frame, and the stream ends
+    (and resets) immediately after.
+
+    Wraps any push/flush/reset frontend taking [B, T, D] and returning
+    [B, T, ...] (:class:`StreamingAM`, :class:`StreamingConformer`,
+    :class:`StreamingBandedEncoder`)."""
+
+    def __init__(self, inner, chunk=40):
+        if int(chunk) <= 0:
+            raise ValueError(f"chunk must be positive, got {chunk}")
+        self.inner = inner
+        self.chunk = int(chunk)
+        self._buf = None  # [B, <chunk, D] carried remainder
+
+    def reset(self):
+        self._buf = None
+        self.inner.reset()
+
+    def push(self, feats):
+        feats = np.asarray(feats)
+        buf = (feats if self._buf is None
+               else np.concatenate([self._buf, feats], axis=1))
+        outs, lo, t = [], 0, buf.shape[1]
+        while t - lo >= self.chunk:
+            out = self.inner.push(buf[:, lo:lo + self.chunk])
+            lo += self.chunk
+            if out is not None:
+                outs.append(np.asarray(out))
+        self._buf = buf[:, lo:] if lo < t else None
+        return np.concatenate(outs, axis=1) if outs else None
+
+    def flush(self):
+        outs = []
+        if self._buf is not None and self._buf.shape[1]:
+            t_valid = self._buf.shape[1]
+            pad = np.zeros(
+                (self._buf.shape[0], self.chunk - t_valid)
+                + self._buf.shape[2:], self._buf.dtype)
+            out = self.inner.push(np.concatenate([self._buf, pad], axis=1))
+            if out is not None:
+                outs.append(np.asarray(out)[:, :t_valid])
+            self._buf = None
+        tail = self.inner.flush()
+        if tail is not None:
+            outs.append(np.asarray(tail))
+        return np.concatenate(outs, axis=1) if outs else None
+
+
 def _banded_push_jit(cfg):
     """Fused jitted push for the banded encoder: src_proj + positions +
     every (cached banded MHSA, FFN) layer in one device call."""
-    key = ("banded", cfg)
-    fn = _JIT_PUSH.get(key)
-    if fn is not None:
-        return fn
-    import jax
+    def build():
+        import jax
 
+        return jax.jit(_banded_push_fn(cfg))
+
+    return _memo_jit(("banded", cfg), build)
+
+
+def _banded_push_fn(cfg):
     window = -cfg.encoder_sub_sequence[0]
 
     def push_fn(params, chunk, pos, caches):
@@ -400,8 +486,7 @@ def _banded_push_jit(cfg):
             x = feed_forward(layer["ffn"], x, cfg, 0.0, rngs, False)
         return x + pos[None], tuple(new_caches)
 
-    fn = _JIT_PUSH[key] = jax.jit(push_fn)
-    return fn
+    return push_fn
 
 
 class StreamingBandedEncoder:

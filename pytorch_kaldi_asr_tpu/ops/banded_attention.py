@@ -114,8 +114,10 @@ def banded_attention_pallas(q, k, v, key_valid, *, start, end, scale,
     """Flash-style banded attention.  q/k/v: [BH, S, D]; key_valid: [BH, S].
 
     ``start <= 0 <= end`` (window relative to the query position); S must be
-    a multiple of block_q."""
+    a multiple of block_q.  v (and the output) may have a different head
+    dim than q/k (d_v vs d_k are independent config fields)."""
     bh, s, d = q.shape
+    dv = v.shape[-1]
     if s % block_q != 0:
         raise ValueError(f"S={s} not a multiple of block_q={block_q}")
     if not (start <= 0 <= end):
@@ -141,15 +143,16 @@ def banded_attention_pallas(q, k, v, key_valid, *, start, end, scale,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, qi, kj: (b, qi, 0)),
             pl.BlockSpec((1, block_q, d), k_index),
-            pl.BlockSpec((1, block_q, d), k_index),
+            pl.BlockSpec((1, block_q, dv), k_index),
             pl.BlockSpec((1, block_q, 1), k_index),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, kj: (b, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=pl.BlockSpec((1, block_q, dv),
+                               lambda b, qi, kj: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s, dv), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, dv), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v, key_valid.reshape(bh, s, 1))
@@ -412,6 +415,7 @@ def banded_attention_trainable(q, k, v, key_valid, seed, start, end, scale,
 def _trainable_fwd(q, k, v, key_valid, seed, start, end, scale,
                    dropout_rate, block_q, interpret):
     bh, s, d = q.shape
+    dv = v.shape[-1]
     if s % block_q != 0:
         raise ValueError(f"S={s} not a multiple of block_q={block_q}")
     n_qblocks, n_back, n_fwd = _band_blocks(s, start, end, block_q)
@@ -431,21 +435,21 @@ def _trainable_fwd(q, k, v, key_valid, seed, start, end, scale,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, d), lambda b, qi, kj: (b, qi, 0)),
             pl.BlockSpec((1, block_q, d), k_index),
-            pl.BlockSpec((1, block_q, d), k_index),
+            pl.BlockSpec((1, block_q, dv), k_index),
             pl.BlockSpec((1, block_q, 1), k_index),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, qi, kj: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, dv), lambda b, qi, kj: (b, qi, 0)),
             pl.BlockSpec((1, block_q, 1), lambda b, qi, kj: (b, qi, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((bh, s, dv), q.dtype),
             jax.ShapeDtypeStruct((bh, s, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, dv), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), q, k, v,
@@ -457,6 +461,7 @@ def _trainable_bwd(start, end, scale, dropout_rate, block_q, interpret,
                    res, dout):
     q, k, v, key_valid, seed, out, lse = res
     bh, s, d = q.shape
+    dv = v.shape[-1]
     n_qblocks, n_back, n_fwd = _band_blocks(s, start, end, block_q)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     kv3 = key_valid.reshape(bh, s, 1)
@@ -479,11 +484,11 @@ def _trainable_bwd(start, end, scale, dropout_rate, block_q, interpret,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, d), q_fixed),
             pl.BlockSpec((1, block_q, d), k_index),
-            pl.BlockSpec((1, block_q, d), q_fixed),      # dout
+            pl.BlockSpec((1, block_q, dv), q_fixed),     # dout
             pl.BlockSpec((1, block_q, 1), q_fixed),      # lse
             pl.BlockSpec((1, block_q, 1), q_fixed),      # delta
             pl.BlockSpec((1, block_q, 1), k_index),      # key_valid
-            pl.BlockSpec((1, block_q, d), k_index),      # v
+            pl.BlockSpec((1, block_q, dv), k_index),     # v
         ],
         out_specs=pl.BlockSpec((1, block_q, d), q_fixed),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -507,15 +512,15 @@ def _trainable_bwd(start, end, scale, dropout_rate, block_q, interpret,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, d), q_index),      # q
             pl.BlockSpec((1, block_q, d), k_fixed),      # k
-            pl.BlockSpec((1, block_q, d), k_fixed),      # v
-            pl.BlockSpec((1, block_q, d), q_index),      # dout
+            pl.BlockSpec((1, block_q, dv), k_fixed),     # v
+            pl.BlockSpec((1, block_q, dv), q_index),     # dout
             pl.BlockSpec((1, block_q, 1), q_index),      # lse
             pl.BlockSpec((1, block_q, 1), q_index),      # delta
             pl.BlockSpec((1, block_q, 1), k_fixed),      # key_valid
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), k_fixed),
-            pl.BlockSpec((1, block_q, d), k_fixed),
+            pl.BlockSpec((1, block_q, dv), k_fixed),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(k.shape, k.dtype),
@@ -523,7 +528,7 @@ def _trainable_bwd(start, end, scale, dropout_rate, block_q, interpret,
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, dv), jnp.float32),
         ],
         interpret=interpret,
     )(seed_arr, q, k, v, dout, lse, delta, kv3)

@@ -37,8 +37,10 @@ Two modes:
   n-best, and streaming sessions are TRUE streaming — chunked AM
   posteriors (models/streaming.py) feed the carried-token graph decoder
   (decode.latgen.StreamingLatgen), so every push returns a live partial
-  for free.  Use a fixed client chunk size: each distinct chunk length
-  compiles its own AM forward.
+  for free.  Clients may push ANY chunk sizes: the server re-chunks
+  internally to a fixed ``-stream_chunk`` frames (one compiled AM push
+  shape per config), carrying remainders across pushes and flushing the
+  ragged tail padded (exact: band and conv are causal).
 
 Usage::
 
@@ -343,7 +345,7 @@ class HybridRecognizer:
     def __init__(self, model_file, graph_dir, *, beam=16.0, max_active=2000,
                  priors_file=None, acoustic_scale=1.0,
                  buckets=DEFAULT_BUCKETS, quantize_weights=False,
-                 decode_workers=None):
+                 decode_workers=None, stream_chunk=40):
         import jax
 
         from pytorch_kaldi_asr_tpu.fst.openfst_io import read_fst
@@ -377,6 +379,7 @@ class HybridRecognizer:
         # scale with host cores — the role the reference hands to
         # multi-process Kaldi decode jobs (queue.pl JOB=1:N)
         self.decode_workers = decode_workers or min(8, os.cpu_count() or 1)
+        self.stream_chunk = int(stream_chunk)
         # created eagerly: lazy creation from recognize_many would race
         # when two threads batch concurrently (duplicate executors, one
         # leaking its idle workers for the process lifetime)
@@ -574,6 +577,7 @@ class HybridRecognizer:
         )
         from pytorch_kaldi_asr_tpu.models.am import am_log_posteriors
         from pytorch_kaldi_asr_tpu.models.streaming import (
+            FixedChunkStream,
             StreamingAM,
             StreamingTDNN,
         )
@@ -594,7 +598,12 @@ class HybridRecognizer:
         # streamers for conformer/banded, receptive-field overlap for
         # tdnn/tdnnf (all equality-pinned vs their offline encoders)
         if self.cfg.encoder_type in ("conformer", "banded"):
-            frontend = StreamingAM(stream_params, self.cfg)
+            # FixedChunkStream decouples client push sizes from the jitted
+            # push shape: without it every distinct client chunk length
+            # compiles a fresh executable (multi-second mid-session stall,
+            # unbounded jit cache in a long-lived server)
+            frontend = FixedChunkStream(StreamingAM(stream_params, self.cfg),
+                                        chunk=self.stream_chunk)
         else:
             frontend = StreamingTDNN(stream_params, self.cfg, apply_fn)
 
@@ -1162,6 +1171,11 @@ def main(argv=None):
                              "(attention mode only)")
     parser.add_argument("-lm_weight", type=float, default=0.3)
     parser.add_argument("-no_warmup", action="store_true")
+    parser.add_argument("-stream_chunk", type=int, default=40,
+                        help="internal streaming push size in frames "
+                             "(hybrid mode): client chunks are re-chunked "
+                             "to this fixed shape so the jitted AM push "
+                             "compiles once per config")
     opt = parser.parse_args(argv)
 
     buckets = (tuple(int(b) for b in opt.buckets.split(","))
@@ -1174,7 +1188,8 @@ def main(argv=None):
                                beam=opt.beam, priors_file=opt.priors_file,
                                acoustic_scale=opt.acoustic_scale,
                                buckets=buckets,
-                               quantize_weights=opt.quantize_weights)
+                               quantize_weights=opt.quantize_weights,
+                               stream_chunk=opt.stream_chunk)
     else:
         if not opt.read_vocab_file:
             parser.error("-read_vocab_file is required without -graph_dir")

@@ -101,6 +101,45 @@ def test_trainable_grads_match_oracle_autodiff():
             err_msg=f"d{name} mismatch")
 
 
+def test_kernels_support_dv_not_equal_dk():
+    # d_k and d_v are independent config fields (reference run.sh:84-85
+    # passes -d_k and -d_v separately); the kernels must size v/out/do
+    # blocks from d_v, not q's head dim
+    rng = np.random.default_rng(11)
+    bh, s, dk, dv = 2, 256, 16, 8
+    q = jnp.asarray(rng.normal(size=(bh, s, dk)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(bh, s, dk)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(bh, s, dv)).astype(np.float32))
+    valid = np.ones((bh, s), np.int32)
+    valid[:, -40:] = 0
+    valid = jnp.asarray(valid)
+    ref = banded_attention_reference(q, k, v, valid, -100, 0, 0.125)
+    assert ref.shape == (bh, s, dv)
+
+    out_inf = banded_attention_pallas(
+        q, k, v, valid, start=-100, end=0, scale=0.125, block_q=128,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out_inf), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    out_tr = _tr(q, k, v, valid, jnp.int32(3))
+    np.testing.assert_allclose(np.asarray(out_tr), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    w = jnp.asarray(rng.normal(size=ref.shape).astype(np.float32))
+    g_tr = jax.grad(
+        lambda q, k, v: (_tr(q, k, v, valid, jnp.int32(3)) * w).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(
+        lambda q, k, v: (banded_attention_reference(
+            q, k, v, valid, -100, 0, 0.125) * w).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_tr, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=f"d{name} mismatch (dv != dk)")
+
+
 def test_trainable_bf16_dots_match_f32_oracle():
     # the kernels keep bf16 inputs in bf16 for the MXU dots (f32
     # accumulation); forward and grads must track the f32 oracle within

@@ -375,6 +375,48 @@ def test_streaming_am_conformer_posteriors_match_offline():
     np.testing.assert_allclose(got, np.asarray(offline), atol=2e-4)
 
 
+def test_fixed_chunk_stream_matches_offline_and_bounds_compiles():
+    """FixedChunkStream over RAGGED client chunks == offline posteriors,
+    and the jitted push compiles for exactly ONE chunk shape (the serve.py
+    recompile-per-client-chunk-length fix)."""
+    from pytorch_kaldi_asr_tpu.models import streaming
+    from pytorch_kaldi_asr_tpu.models.streaming import (
+        FixedChunkStream,
+        StreamingAM,
+    )
+
+    cfg = _cfg("conformer", conformer_causal_conv=True)
+    n_targets = 6
+    params = am.init_am(jax.random.PRNGKey(12), cfg, n_targets)
+    rng = np.random.default_rng(14)
+    src = rng.normal(size=(1, 23, cfg.src_dim)).astype(np.float32)
+    mask = jnp.ones((1, 23), jnp.uint8)
+    offline, _ = am.am_log_posteriors(params, cfg, jnp.asarray(src), mask)
+
+    del streaming  # the adapter is the unit under test here
+    inner = StreamingAM(params, cfg)
+    pushed_sizes = []
+    real_push = inner.push
+    inner.push = lambda c: (pushed_sizes.append(c.shape[1]),
+                            real_push(c))[1]
+    stream = FixedChunkStream(inner, chunk=8)
+    outs = []
+    # ragged client pushes: 3, 9, 1, 10 frames (23 total; tail of 7)
+    for a, b in [(0, 3), (3, 12), (12, 13), (13, 23)]:
+        out = stream.push(src[:, a:b])
+        if out is not None:
+            outs.append(out)
+    tail = stream.flush()
+    if tail is not None:
+        outs.append(tail)
+    got = np.concatenate(outs, axis=1)
+    assert got.shape == offline.shape
+    np.testing.assert_allclose(got, np.asarray(offline), atol=2e-4)
+    # the model NEVER sees a ragged shape: one compiled push shape total
+    # (the flush tail is padded up to the chunk and sliced back)
+    assert pushed_sizes == [8, 8, 8]
+
+
 def test_position_encoding_rows_match_table():
     from pytorch_kaldi_asr_tpu.models.common import (
         position_encoding_rows,
