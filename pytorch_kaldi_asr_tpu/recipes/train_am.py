@@ -54,7 +54,7 @@ def train_am(data_dir, dev_dir, save_dir, *, encoder_type="tdnnf",
              n_targets=None, epochs=10, batch_size=16, lr=0.001,
              soft_coefficient=25000.0, en_d_model=256, en_layers=None,
              seed=0, semi_orth_interval=4, seq_shards=0,
-             encoder_sub_sequence=None, en_dropout=0.1):
+             encoder_sub_sequence=None, en_dropout=0.1, specaugment=None):
     pad_multiple = 8
     if seq_shards > 1:
         pad_multiple = 8 * seq_shards // math.gcd(8, seq_shards)
@@ -126,6 +126,16 @@ def train_am(data_dir, dev_dir, save_dir, *, encoder_type="tdnnf",
 
     @jax.jit
     def train_step(params, opt_state, src, src_mask, tgt, rng):
+        if specaugment:
+            # on-chip masking inside the jitted step (ops/specaugment.py);
+            # same None/True/kwargs-dict contract as train.state.
+            # make_train_step(specaugment=...)
+            from pytorch_kaldi_asr_tpu.ops.specaugment import spec_augment
+
+            sa_kw = specaugment if isinstance(specaugment, dict) else {}
+            rng, aug = jax.random.split(rng)
+            src = spec_augment(aug, src, src_mask, **sa_kw)
+
         def loss_fn(p):
             loss, n_correct, n = loss_parts(p, src, src_mask, tgt,
                                             train=True, rng=rng)
@@ -197,6 +207,14 @@ def main(argv=None):
                              "encoders only — see parallel/sequence.py)")
     parser.add_argument("-encoder_sub_sequence", default=None,
                         help="attention band '(start,end)', e.g. '(-100,0)'")
+    parser.add_argument("-specaugment", action="store_true",
+                        help="SpecAugment time/frequency masking inside the "
+                             "jitted train step (ops/specaugment.py)")
+    parser.add_argument("-specaug_freq_masks", type=int, default=2)
+    parser.add_argument("-specaug_freq_width", type=int, default=15)
+    parser.add_argument("-specaug_time_masks", type=int, default=2)
+    parser.add_argument("-specaug_time_width", type=int, default=50)
+    parser.add_argument("-specaug_max_time_frac", type=float, default=0.2)
     opt = parser.parse_args(argv)
 
     sub_seq = None
@@ -205,6 +223,16 @@ def main(argv=None):
 
         sub_seq = str2tuple(opt.encoder_sub_sequence)
 
+    specaug = None
+    if opt.specaugment:
+        specaug = {
+            "n_freq_masks": opt.specaug_freq_masks,
+            "freq_width": opt.specaug_freq_width,
+            "n_time_masks": opt.specaug_time_masks,
+            "time_width": opt.specaug_time_width,
+            "max_time_frac": opt.specaug_max_time_frac,
+        }
+
     procedure("hybrid AM training")
     train_am(
         opt.read_train_dir, opt.read_dev_dir, opt.save_model_dir,
@@ -212,6 +240,7 @@ def main(argv=None):
         epochs=opt.epoch, batch_size=opt.batch_size, lr=opt.optim_start_lr,
         en_d_model=opt.en_d_model, en_dropout=opt.en_dropout,
         seq_shards=opt.seq_shards, encoder_sub_sequence=sub_seq,
+        specaugment=specaug,
     )
     return 0
 
