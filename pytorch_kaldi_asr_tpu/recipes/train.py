@@ -44,6 +44,11 @@ def main(argv=None):
     parser.add_argument("-use_gpu", action="store_true",
                         help="accepted for recipe compatibility; device "
                              "choice is JAX's")
+    parser.add_argument("-specaugment", action="store_true",
+                        help="on-chip SpecAugment masking inside the jitted "
+                             "train step (ops/specaugment.py defaults; OFF "
+                             "by default — the reference has no feature "
+                             "augmentation, so parity runs leave this off)")
     opt = parser.parse_args(argv)
 
     procedure("prepare trainning.")
@@ -82,6 +87,7 @@ def main(argv=None):
         smoothing=opt.label_smoothing,
         resume=opt.resume,
         metrics_path=os.path.join(opt.save_model_dir, "metrics.jsonl"),
+        specaugment=opt.specaugment,
     )
     if result.preempted:
         # checkpointed mid-run; ask the launcher to resubmit us (pair

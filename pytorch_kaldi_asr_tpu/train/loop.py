@@ -148,6 +148,7 @@ def train_model(
     save_opt_state=True,
     metrics_path=None,
     preempt_signal="SIGTERM",
+    specaugment=None,
 ):
     """Full training driver; returns a ``TrainResult`` (best_params,
     best_epoch, best_accu, preempted).
@@ -221,7 +222,8 @@ def train_model(
             resumed_epoch = last_epoch
             info("resuming from %s (epoch %d, step %d)", path, last_epoch,
                  ckpt["step"])
-    train_step = make_train_step(cfg, tx, smoothing=smoothing, mesh=mesh)
+    train_step = make_train_step(cfg, tx, smoothing=smoothing, mesh=mesh,
+                                 specaugment=specaugment)
     eval_step = make_eval_step(cfg, mesh=mesh)
 
     metrics = None

@@ -14,7 +14,8 @@
 #     preload: ~100h of 40-dim frames is ~29 GB padded).
 #
 # Scale knobs are env-overridable; `scale=0.01 epochs=5 bash run.sh`
-# gives a laptop-size smoke run.
+# gives a laptop-size smoke run.  `specaugment=1` enables on-chip
+# SpecAugment masking inside the jitted train step (ops/specaugment.py).
 #------------------------------------------------------------
 . "$(dirname "$0")/path.sh"
 export train_cmd="python3 -m pytorch_kaldi_asr_tpu.parallel.launch"
@@ -134,7 +135,8 @@ if [ $stage -le 4 ]; then
         -epoch $epochs \
         -batch_size $batch_size \
         -save_model_dir $model_dir \
-        -save_interval 1 || exit 1
+        -save_interval 1 \
+        ${specaugment:+-specaugment} || exit 1
     echo '[INFO] trainning finish.'
     if $clean_dir; then
         rm -rf ${model_dir}/epoch.*

@@ -216,6 +216,32 @@ def test_train_result_preempted_flag(tmp_path):
     assert res.preempted is False
 
 
+def test_train_model_specaugment_plumbs_to_step(tmp_path):
+    """train_model(specaugment=...) reaches make_train_step: the run
+    trains and the augmented path produces finite metrics."""
+    from pytorch_kaldi_asr_tpu.data.loader import BatchLoader
+    from pytorch_kaldi_asr_tpu.models.transformer import init_transformer
+    from pytorch_kaldi_asr_tpu.train.loop import train_model
+    from tests.test_models import small_cfg
+
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(5)
+    triples = [
+        (f"u{i}", rng.normal(size=(8, cfg.src_dim)).astype(np.float32),
+         np.array([2, 4, 5, 3]))
+        for i in range(4)
+    ]
+    loader = BatchLoader(triples, batch_size=4, mode="drop")
+    ev = BatchLoader(triples, batch_size=4, mode="all")
+    res = train_model(
+        params, cfg, loader, ev, ev, str(tmp_path / "exp"),
+        epochs=1, save_interval=1, preempt_signal=None,
+        specaugment={"freq_width": 2, "time_width": 3})
+    assert res.preempted is False
+    assert np.isfinite(res.best_accu)
+
+
 def test_train_cli_exits_preempt_code(monkeypatch, tmp_path):
     """recipes/train.py: a preempted training run exits with the
     launcher's PREEMPT_EXIT_CODE and skips the combine stage."""
