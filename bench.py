@@ -548,9 +548,19 @@ def main():
                     "streaming_push_ms_p50": r["push_ms_p50"],
                     "tunnel_rtt_ms_p50": round(rtt_ms, 1)}
 
+        def _hybrid_device():
+            from pytorch_kaldi_asr_tpu.tools.bench_rtf import (
+                bench_hybrid_device,
+            )
+
+            r = bench_hybrid_device()
+            return {"hybrid_device_rtf": r["value"],
+                    "hybrid_device_frames_per_sec": r["frames_per_sec"]}
+
         _sub("conformer", _conformer)
         _sub("decode_int8", measure_decode_and_int8)
         _sub("hybrid", measure_hybrid_rtf)
+        _sub("hybrid_device", _hybrid_device)
         _sub("streaming", _streaming)
     print(json.dumps(record))
 

@@ -39,7 +39,20 @@ def main(argv=None):
                              "(+ .scp next to it)")
     parser.add_argument("-save_slf", default=None,
                         help="also emit HTK SLF lattices (file or dir)")
+    parser.add_argument("-device_search", action="store_true",
+                        help="run the graph search ON the accelerator "
+                             "(batched XLA Viterbi, decode/device_latgen) "
+                             "instead of the host token-passing decoder; "
+                             "best-path output only (no lattice emit)")
+    parser.add_argument("-device_batch", type=int, default=8,
+                        help="utterances per device dispatch with "
+                             "-device_search")
     opt = parser.parse_args(argv)
+
+    if opt.device_search and (opt.save_lattice_file or opt.save_slf
+                              or opt.save_lattice_ark):
+        parser.error("-device_search emits best paths only; drop the "
+                     "lattice outputs or use the host decoder")
 
     from pytorch_kaldi_asr_tpu.fst.openfst_io import read_fst
 
@@ -87,12 +100,24 @@ def main(argv=None):
         if opt.save_slf:
             write_slf_file(lats, opt.save_slf)
     else:
-        with open(opt.save_result_file, "w", encoding="utf-8") as f:
-            for key, text, cost in decode_posterior_ark(
+        if opt.device_search:
+            from pytorch_kaldi_asr_tpu.decode.device_latgen import (
+                decode_posterior_stream,
+            )
+
+            results = decode_posterior_stream(
+                graph, reader, word_syms, batch_size=opt.device_batch,
+                acoustic_scale=opt.acoustic_scale, beam=opt.beam,
+                max_active=opt.max_active, log_priors=log_priors,
+            )
+        else:
+            results = decode_posterior_ark(
                 graph, reader, word_syms,
                 acoustic_scale=opt.acoustic_scale, beam=opt.beam,
                 max_active=opt.max_active, log_priors=log_priors,
-            ):
+            )
+        with open(opt.save_result_file, "w", encoding="utf-8") as f:
+            for key, text, cost in results:
                 f.write(f"{key} {text}\n")
                 n += 1
     info("decoded %d utterances -> %s", n, opt.save_result_file)

@@ -253,11 +253,47 @@ def bench_hybrid(beam=16.0, max_active=2000, repeats=3):
     return out
 
 
+def bench_hybrid_device(beam=16.0, max_active=2000, batch=8, repeats=3):
+    """Batched ON-DEVICE graph-search RTF (decode/device_latgen.py): the
+    whole Viterbi recursion runs as one compiled XLA program on the
+    accelerator, `batch` utterances per dispatch, with only the word/
+    phone buffers returning to the host.  RTF counts the full batch's
+    audio; compare against bench_hybrid()'s per-utterance host search."""
+    from pytorch_kaldi_asr_tpu.decode.device_latgen import DeviceLatgen
+
+    graph, log_posts = hybrid_bench_setup()
+    T, P = log_posts.shape
+    rng = np.random.default_rng(1)
+    posts = np.zeros((batch, T, P), np.float32)
+    for b in range(batch):
+        v = log_posts + rng.normal(scale=0.1, size=log_posts.shape)
+        posts[b] = v - np.log(np.exp(v).sum(1, keepdims=True))
+    lens = np.full(batch, T, np.int32)
+    audio_sec = batch * T * 0.01
+
+    dec = DeviceLatgen(graph, beam=beam, max_active=max_active)
+    res = dec.decode_batch(posts, lens)  # warm: compile + caches
+    assert all(r is not None for r in res), "device hybrid bench died"
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        dec.decode_batch(posts, lens)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "metric": "hybrid_device_rtf",
+        "value": round(best / audio_sec, 6),
+        "unit": "rtf",
+        "batch": batch,
+        "frames_per_sec": round(batch * T / best, 1),
+        "graph_states": graph.num_states,
+    }
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--which",
                         choices=["posterior", "decode", "streaming",
-                                 "hybrid", "all"],
+                                 "hybrid", "hybrid_device", "all"],
                         default="all")
     opt = parser.parse_args(argv)
     if opt.which in ("posterior", "all"):
@@ -268,6 +304,8 @@ def main(argv=None):
         print(json.dumps(bench_streaming_conformer()))
     if opt.which in ("hybrid", "all"):
         print(json.dumps(bench_hybrid()))
+    if opt.which in ("hybrid_device", "all"):
+        print(json.dumps(bench_hybrid_device()))
     return 0
 
 
