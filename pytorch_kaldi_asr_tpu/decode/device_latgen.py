@@ -355,6 +355,44 @@ def device_latgen(graph: Fst, log_posts, lengths=None, **kw):
     return DeviceLatgen(graph, **kw).decode_batch(log_posts, lengths)
 
 
+# dense-path comfort zone: past either bound the [T, S, B] traceback and
+# the per-frame full-arc-table scatter stop paying for themselves and the
+# top-K frontier decoder (decode/frontier_latgen.py) takes over
+DENSE_MAX_STATES = 8192
+DENSE_MAX_ARCS = 65536
+
+
+def make_device_latgen(graph: Fst, *, mode="auto", **kw):
+    """Build the right on-device decoder for ``graph``.
+
+    ``mode``: ``"dense"`` (this module's full-state-table decoder),
+    ``"frontier"`` (decode/frontier_latgen.py top-K decoder), or
+    ``"auto"`` — dense inside its comfort zone (its per-frame cost is
+    graph-sized but it avoids the frontier's per-frame sorts), frontier
+    beyond it.  Env ``PKA_DEVICE_SEARCH_MODE`` overrides ``"auto"``.
+    Both classes share the decode_batch contract.
+    """
+    import os
+
+    if mode == "auto":
+        mode = os.environ.get("PKA_DEVICE_SEARCH_MODE", "auto")
+    if mode == "auto":
+        mode = ("frontier"
+                if (graph.num_states > DENSE_MAX_STATES
+                    or graph.num_arcs > DENSE_MAX_ARCS)
+                else "dense")
+    if mode == "frontier":
+        from pytorch_kaldi_asr_tpu.decode.frontier_latgen import (
+            FrontierLatgen,
+        )
+
+        return FrontierLatgen(graph, **kw)
+    if mode != "dense":
+        raise ValueError(f"unknown device-search mode {mode!r}")
+    kw.pop("frontier_width", None)
+    return DeviceLatgen(graph, **kw)
+
+
 def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
@@ -362,17 +400,18 @@ def _round_up(n, m):
 def decode_posterior_stream(graph: Fst, post_iter, word_syms, *,
                             batch_size=8, pad_multiple=64,
                             acoustic_scale=1.0, beam=16.0, max_active=2000,
-                            log_priors=None, sym_offset=1):
+                            log_priors=None, sym_offset=1, mode="auto"):
     """Batched on-device twin of decode.latgen.decode_posterior_ark:
     consume a (key, log_posterior_matrix) stream, decode ``batch_size``
     utterances per device dispatch, and yield (key, word_string, cost) in
     input order.  Frame counts are padded to ``pad_multiple`` (and the
     last ragged batch to the full ``batch_size``) so the number of
-    compiled shapes stays bounded."""
+    compiled shapes stays bounded.  ``mode`` picks the dense or frontier
+    device decoder (see :func:`make_device_latgen`)."""
     id2word = {v: k for k, v in word_syms.items()}
-    dec = DeviceLatgen(graph, acoustic_scale=acoustic_scale, beam=beam,
-                       max_active=max_active, log_priors=log_priors,
-                       sym_offset=sym_offset)
+    dec = make_device_latgen(graph, mode=mode, acoustic_scale=acoustic_scale,
+                             beam=beam, max_active=max_active,
+                             log_priors=log_priors, sym_offset=sym_offset)
 
     def flush(buf):
         P = buf[0][1].shape[1]

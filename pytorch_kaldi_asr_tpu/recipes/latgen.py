@@ -47,6 +47,11 @@ def main(argv=None):
     parser.add_argument("-device_batch", type=int, default=8,
                         help="utterances per device dispatch with "
                              "-device_search")
+    parser.add_argument("-device_mode", default="auto",
+                        choices=["auto", "dense", "frontier"],
+                        help="device decoder flavor with -device_search: "
+                             "dense full-state-table Viterbi, top-K "
+                             "frontier search, or size-based auto pick")
     opt = parser.parse_args(argv)
 
     if opt.device_search and (opt.save_lattice_file or opt.save_slf
@@ -109,6 +114,7 @@ def main(argv=None):
                 graph, reader, word_syms, batch_size=opt.device_batch,
                 acoustic_scale=opt.acoustic_scale, beam=opt.beam,
                 max_active=opt.max_active, log_priors=log_priors,
+                mode=opt.device_mode,
             )
         else:
             results = decode_posterior_ark(
