@@ -255,15 +255,17 @@ def measure_pipeline_e2e(steps=30, warmup=3, host_only=False):
 
     tmp = tempfile.mkdtemp(prefix="bench_e2e_")
     try:
-        # >=2 full batches per bucket even at small `steps` (mode="drop"
-        # over num_buckets=4 yields nothing from a bucket under BATCH utts)
-        n_utts = max(8 * BATCH, (steps + warmup) * BATCH // 4)
+        # 16 DP-optimal buckets over 2000 utts keep padded/valid <= 1.05
+        # (measured 4.7% pad on this distribution; 4 equal-count buckets
+        # over 800 utts paid 14.6% in BENCH_r03) while every bucket still
+        # fills a full drop-mode batch
+        n_utts = max(20 * BATCH, (steps + warmup) * BATCH // 4)
         write_split(tmp, CorpusModel(feat_dim=SRC_DIM, seed=0), n_utts,
                     spk_seed=1, utt_seed=2)
         instances = read_instances(os.path.join(tmp, "text"))
         vocab = build_vocab(instances)
         loader = make_batch_loader(tmp, vocab, BATCH, mode="drop",
-                                   num_buckets=4)
+                                   num_buckets=16)
 
         # host-side-only rate: ark (pre-loaded) -> bucket -> pad, no device.
         # This is the part the pipeline design controls; the device leg is
@@ -301,8 +303,10 @@ def measure_pipeline_e2e(steps=30, warmup=3, host_only=False):
                 yield from prefetch_to_device(loader,
                                               transfer_dtype=jnp.bfloat16)
 
+        # warm a FULL epoch so every bucket shape is compiled before the
+        # timed window (a mid-timing compile would swallow the measurement)
         it = epoch_batches()
-        for _ in range(warmup):
+        for _ in range(max(warmup, loader.num_batch)):
             b = next(it)
             state, m = train_step(state, b.src, b.src_mask, b.tgt, b.tgt_mask)
         float(m["loss"])
@@ -319,6 +323,61 @@ def measure_pipeline_e2e(steps=30, warmup=3, host_only=False):
         return valid / dt, padded / dt, host_rate, xfer_mbps
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _prod(xs):
+    out = 1
+    for x in xs:
+        out *= int(x)
+    return out
+
+
+def _matmul_flops_of_jaxpr(jaxpr):
+    """Analytic model FLOPs: walk the traced program and count ONLY
+    matmul (dot_general) and convolution FLOPs at their exact shapes
+    (2*M*N*K per dot), recursing into scan/pjit/custom-vjp sub-jaxprs
+    (scan bodies multiplied by trip count).  The train step is already
+    differentiated when traced, so this is fwd+bwd.  Unlike the compiled
+    executable's cost_analysis() — which counts every emitted op
+    including masking, padding and dropout RNG, and whose byte counters
+    are logical (hbm_util > 1 in BENCH_r03.json) — this is the
+    conventional 'model FLOPs' numerator for MFU."""
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        if prim == "dot_general":
+            (lc, rc), (lb, _rb) = eqn.params["dimension_numbers"]
+            a = eqn.invars[0].aval.shape
+            b = eqn.invars[1].aval.shape
+            batch = _prod(a[i] for i in lb)
+            k = _prod(a[i] for i in lc)
+            m = _prod(a[i] for i in range(len(a))
+                      if i not in lc and i not in lb)
+            rb_set = set(_rb) | set(rc)
+            n = _prod(b[i] for i in range(len(b)) if i not in rb_set)
+            total += 2.0 * batch * m * n * k
+        elif prim == "conv_general_dilated":
+            out = eqn.outvars[0].aval.shape
+            rhs = eqn.invars[1].aval.shape
+            dn = eqn.params["dimension_numbers"]
+            out_ch = out[dn.out_spec[1]]
+            kernel_per_out = _prod(rhs) // max(out_ch, 1)
+            total += 2.0 * _prod(out) * kernel_per_out
+        else:
+            mult = 1
+            subs = []
+            for name in ("jaxpr", "call_jaxpr", "body_jaxpr", "fun_jaxpr"):
+                sub = eqn.params.get(name)
+                if sub is not None:
+                    subs.append(sub)
+            if prim == "scan":
+                mult = int(eqn.params.get("length", 1))
+            if prim == "cond":
+                subs = list(eqn.params.get("branches", ()))
+            for sub in subs:
+                inner = getattr(sub, "jaxpr", sub)
+                total += mult * _matmul_flops_of_jaxpr(inner)
+    return total
 
 
 # peak spec sheet per device kind: (bf16 TFLOP/s, HBM GB/s)
@@ -359,6 +418,12 @@ def measure_mfu(encoder_type=None, fps=None, stream_bf16=None):
         nbytes = float(cost.get("bytes accessed", 0.0))
     except Exception:
         return None
+    try:
+        fn = step.__wrapped__ if hasattr(step, "__wrapped__") else step
+        traced = jax.make_jaxpr(fn)(state, src, src_mask, tgt, tgt_mask)
+        flops_analytic = _matmul_flops_of_jaxpr(traced.jaxpr)
+    except Exception:
+        flops_analytic = None
 
     if fps is None:
         fps = measure_jax(steps=20, encoder_type=encoder_type,
@@ -376,9 +441,14 @@ def measure_mfu(encoder_type=None, fps=None, stream_bf16=None):
         "step_time_ms": round(step_time * 1e3, 3),
         "device_kind": kind,
     }
+    if flops_analytic:
+        out["step_flops_analytic"] = flops_analytic
     if peak_flops:
         out["mfu"] = round(flops / step_time / (peak_flops * 1e12), 4)
         out["hbm_util"] = round(nbytes / step_time / (peak_bw * 1e9), 4)
+        if flops_analytic:
+            out["mfu_analytic"] = round(
+                flops_analytic / step_time / (peak_flops * 1e12), 4)
     return out
 
 
@@ -519,9 +589,12 @@ def main():
             if roof:
                 out.update({
                     "conformer_mfu": roof.get("mfu"),
+                    "conformer_mfu_analytic": roof.get("mfu_analytic"),
                     "conformer_hbm_util": roof.get("hbm_util"),
                     "conformer_step_time_ms": roof.get("step_time_ms"),
                     "conformer_step_flops": roof.get("step_flops"),
+                    "conformer_step_flops_analytic":
+                        roof.get("step_flops_analytic"),
                 })
             return out
 
@@ -559,8 +632,16 @@ def main():
 
         _sub("conformer", _conformer)
         _sub("decode_int8", measure_decode_and_int8)
+        def _frontier():
+            from pytorch_kaldi_asr_tpu.tools.bench_rtf import (
+                bench_frontier_crossover,
+            )
+
+            return bench_frontier_crossover()
+
         _sub("hybrid", measure_hybrid_rtf)
         _sub("hybrid_device", _hybrid_device)
+        _sub("frontier_device", _frontier)
         _sub("streaming", _streaming)
     print(json.dumps(record))
 

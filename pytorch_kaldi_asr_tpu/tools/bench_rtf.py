@@ -289,11 +289,96 @@ def bench_hybrid_device(beam=16.0, max_active=2000, batch=8, repeats=3):
     }
 
 
+def _batched_posts(log_posts, batch, seed=1):
+    T, P = log_posts.shape
+    rng = np.random.default_rng(seed)
+    posts = np.zeros((batch, T, P), np.float32)
+    for b in range(batch):
+        v = log_posts + rng.normal(scale=0.1, size=log_posts.shape)
+        posts[b] = v - np.log(np.exp(v).sum(1, keepdims=True))
+    return posts, np.full(batch, T, np.int32)
+
+
+def bench_frontier_crossover(beam=16.0, max_active=2000, batch=8,
+                             repeats=3, big_words=4000, big_sents=12000):
+    """Dense-device vs frontier-device vs host-native graph-search
+    crossover (round-3 verdict #2): times the top-K frontier decoder
+    (decode/frontier_latgen.py) on the recipe-scale graph (~4k states,
+    where the dense device path and the host native path both run) AND
+    on a ~114k-state graph (past the dense path's [T,S,B] memory wall —
+    the scale Kaldi's C++ decoders handle for the reference), against
+    the host native C++ latgen on the same batch.  Emits per-path RTF
+    plus the big-graph device/host ratio the auto-dispatcher
+    (decode.device_latgen.make_device_latgen) is calibrated by."""
+    from pytorch_kaldi_asr_tpu.decode.frontier_latgen import FrontierLatgen
+    from pytorch_kaldi_asr_tpu.decode.latgen import latgen
+
+    out = {}
+
+    def time_device(dec, posts, lens):
+        res = dec.decode_batch(posts, lens)  # warm: compile + caches
+        if not all(r is not None for r in res):
+            raise RuntimeError("frontier bench beam died")
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            dec.decode_batch(posts, lens)
+            best = min(best, time.perf_counter() - t0)
+        return best, res
+
+    def time_native(graph, posts, lens):
+        best = float("inf")
+        ref = [latgen(graph, posts[b, :lens[b]].astype(np.float64),
+                      beam=beam, max_active=max_active)
+               for b in range(len(posts))]
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for b in range(len(posts)):
+                latgen(graph, posts[b, :lens[b]].astype(np.float64),
+                       beam=beam, max_active=max_active)
+            best = min(best, time.perf_counter() - t0)
+        return best, ref
+
+    def agreement(dev, ref):
+        hit = sum(1 for d, r in zip(dev, ref)
+                  if d is not None and r is not None and d[0] == r[0])
+        return round(hit / max(len(ref), 1), 3)
+
+    # recipe-scale graph (dense comfort zone)
+    graph_s, log_posts_s = hybrid_bench_setup()
+    posts_s, lens_s = _batched_posts(log_posts_s, batch)
+    audio_s = batch * log_posts_s.shape[0] * 0.01
+    dec = FrontierLatgen(graph_s, beam=beam, max_active=max_active)
+    t, res = time_device(dec, posts_s, lens_s)
+    tn, ref = time_native(graph_s, posts_s, lens_s)
+    out["frontier_small_rtf"] = round(t / audio_s, 6)
+    out["frontier_small_agreement"] = agreement(res, ref)
+    out["native_small_rtf"] = round(tn / audio_s, 6)
+    out["small_graph_states"] = graph_s.num_states
+
+    # past the dense wall: ~114k states
+    graph_b, log_posts_b = hybrid_bench_setup(
+        n_words=big_words, n_phones=40, n_sents=big_sents, seed=0)
+    posts_b, lens_b = _batched_posts(log_posts_b, batch)
+    audio_b = batch * log_posts_b.shape[0] * 0.01
+    dec = FrontierLatgen(graph_b, beam=beam, max_active=max_active)
+    t, res = time_device(dec, posts_b, lens_b)
+    tn, ref = time_native(graph_b, posts_b, lens_b)
+    out["frontier_big_rtf"] = round(t / audio_b, 6)
+    out["frontier_big_agreement"] = agreement(res, ref)
+    out["native_big_rtf"] = round(tn / audio_b, 6)
+    out["big_graph_states"] = graph_b.num_states
+    out["frontier_big_vs_native"] = round(
+        out["native_big_rtf"] / max(out["frontier_big_rtf"], 1e-9), 2)
+    return out
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--which",
                         choices=["posterior", "decode", "streaming",
-                                 "hybrid", "hybrid_device", "all"],
+                                 "hybrid", "hybrid_device", "frontier",
+                                 "all"],
                         default="all")
     opt = parser.parse_args(argv)
     if opt.which in ("posterior", "all"):
@@ -306,6 +391,8 @@ def main(argv=None):
         print(json.dumps(bench_hybrid()))
     if opt.which in ("hybrid_device", "all"):
         print(json.dumps(bench_hybrid_device()))
+    if opt.which in ("frontier", "all"):
+        print(json.dumps(bench_frontier_crossover()))
     return 0
 
 
