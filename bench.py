@@ -166,6 +166,23 @@ def measure_jax(steps=30, warmup=3, encoder_type=None, stream_bf16=None):
         state, m = train_step(state, src, src_mask, tgt, tgt_mask)
     float(m["loss"])  # sync the dependent chain
     dt = max(time.perf_counter() - t0 - t_rtt, 1e-9)
+
+    # BENCH_TRACE=<dir>: capture a jax.profiler trace of 3 steps (outside
+    # the timed window) for tools/trace_summary.py / perfetto; see
+    # utils/metrics.profile_trace (SURVEY §5.1 tracing subsystem)
+    trace_dir = os.environ.get("BENCH_TRACE")
+    if trace_dir:
+        from pytorch_kaldi_asr_tpu.utils.metrics import profile_trace
+
+        sub = os.path.join(trace_dir,
+                           (encoder_type or os.environ.get("BENCH_MODEL",
+                                                           "tdnn")))
+        with profile_trace(sub):
+            for _ in range(3):
+                state, m = train_step(state, src, src_mask, tgt, tgt_mask)
+            float(m["loss"])
+        print(f"[bench] profiler trace -> {sub}", file=sys.stderr)
+
     frames_per_step = BATCH * SRC_LEN
     return frames_per_step * steps / dt
 

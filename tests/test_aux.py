@@ -306,3 +306,27 @@ def test_combine_includes_best_checkpoint_with_sparse_saves(tmp_path):
     p, accu, path = combine_checkpoints(out, sparse_best, cfg, eval_loader,
                                         num_model=3)
     assert os.path.isdir(path)
+
+
+def test_profile_trace_and_summary(tmp_path):
+    """profile_trace captures a perfetto trace that trace_summary can
+    aggregate (the SURVEY §5.1 tracing path behind bench.py BENCH_TRACE)."""
+    import jax.numpy as jnp
+
+    from pytorch_kaldi_asr_tpu.tools.trace_summary import (
+        find_trace_files,
+        format_md,
+        summarize,
+    )
+    from pytorch_kaldi_asr_tpu.utils.metrics import profile_trace
+
+    f = jax.jit(lambda x: jnp.sin(x) @ x.T)
+    x = jnp.ones((64, 64))
+    f(x).block_until_ready()
+    with profile_trace(str(tmp_path)):
+        f(x).block_until_ready()
+    assert find_trace_files(str(tmp_path))
+    summary = summarize(str(tmp_path), top=5)
+    assert summary
+    md = format_md(summary)
+    assert "| op |" in md and "total" in md
