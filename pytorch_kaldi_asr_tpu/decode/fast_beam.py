@@ -145,20 +145,59 @@ def project_cross_kv(dec, enc_proj, beam_size):
     return cross_k, cross_v
 
 
-@partial(jax.jit, static_argnames=("cfg", "beam_size", "max_len"))
-def fast_beam_search(params, cfg, src, src_mask, *, beam_size, max_len):
-    """Cached beam search; same contract/result as ``beam_search``."""
+def _check_search_cfg(cfg, max_len):
     if max_len > cfg.decoder_max_len:
         raise ValueError("max_len exceeds the decoder position table")
     if cfg.decoder_sub_sequence[1] != 0:
         raise ValueError("incremental decoding needs a causal band (end=0)")
-    window = -cfg.decoder_sub_sequence[0]
+
+
+@partial(jax.jit, static_argnames=("cfg", "beam_size", "max_len"))
+def fast_beam_search(params, cfg, src, src_mask, *, beam_size, max_len):
+    """Cached beam search; same contract/result as ``beam_search``."""
+    _check_search_cfg(cfg, max_len)
     b = src.shape[0]
+    enc_output, src_mask_f = encode(params, cfg, src, src_mask, train=False)
+    return _search_from_memory(
+        params, cfg, enc_output, src_mask_f,
+        jnp.zeros((b, 0), jnp.int32), beam_size=beam_size, max_len=max_len)
+
+
+@partial(jax.jit, static_argnames=("cfg", "beam_size", "max_len"))
+def fast_beam_search_memory(params, cfg, enc_output, src_mask_f, prefix, *,
+                            beam_size, max_len):
+    """Beam search over PRECOMPUTED encoder memory, optionally continuing
+    from a forced token prefix.
+
+    The incremental-partial path for streaming attention sessions
+    (recipes/serve.py): the session's carried streaming encoder
+    (models/streaming.py, exact vs offline) grows ``enc_output`` chunk by
+    chunk, and each partial forces the previous partial's stable prefix
+    through the KV caches (one scan, no beam bookkeeping) before
+    beam-continuing — so per-partial cost stops scaling with the audio
+    already encoded.  ``prefix``: [B, P] int32 token ids WITHOUT
+    BOS/EOS; P == 0 reproduces ``fast_beam_search`` given the same
+    memory (pinned by tests/test_fast_beam.py).  Returned scores
+    accumulate over the continuation only (the forced prefix contributes
+    0), so they rank hypotheses within one call but are not comparable
+    to full-search scores."""
+    _check_search_cfg(cfg, max_len)
+    return _search_from_memory(params, cfg, enc_output, src_mask_f, prefix,
+                               beam_size=beam_size, max_len=max_len)
+
+
+def _search_from_memory(params, cfg, enc_output, src_mask_f, prefix, *,
+                        beam_size, max_len):
+    window = -cfg.decoder_sub_sequence[0]
+    b = enc_output.shape[0]
     vocab = cfg.vocab_size
     dec = params["decoder"]
     n = b * beam_size
+    P = prefix.shape[1]
+    if P >= max_len:
+        raise ValueError(f"prefix length {P} leaves no room under "
+                         f"max_len {max_len}")
 
-    enc_output, src_mask_f = encode(params, cfg, src, src_mask, train=False)
     enc_proj = enc_output @ dec["enc_dec_proj"]["w"]  # [B, S, de_d]
 
     cross_k, cross_v = project_cross_kv(dec, enc_proj, beam_size)
@@ -180,24 +219,49 @@ def fast_beam_search(params, cfg, src, src_mask, *, beam_size, max_len):
     def gather_lanes(caches, parent):
         return gather_beam_lanes(caches, parent, b, beam_size)
 
-    # ---- step 0.  The reference decodes a length-1 sequence here, where
-    # layer norm is skipped — but ONLY for this step's logits: when later
-    # steps recompute the full prefix (length >= 2), position 0's hidden
-    # states are re-derived WITH layer norm.  So the step-0 logits use the
-    # skip, while the cached K/V come from a with-LN pass.
-    logits0, new_kv = _decode_one(
-        dec, cfg, tokens[:, 0], 0, self_caches, cross_k, cross_v, src_valid,
-        pos_table, ln_skip=False,
-    )
-    if cfg.ln_skip_len1:
-        logits0, _ = _decode_one(
+    if P > 0:
+        # forced prefix: every lane carries the same tokens, so the beam
+        # state is untouched — one scan fills the KV caches with-LN
+        # (identical numerics to the full beam having taken this path:
+        # the step-0 LN-skip quirk affects step-0 LOGITS only, which a
+        # forced step discards)
+        tokens = tokens.at[:, 1:P + 1].set(
+            jnp.repeat(prefix, beam_size, axis=0))
+
+        def force(caches, t):
+            tok_t = jnp.take_along_axis(
+                tokens, t[None, None].astype(jnp.int32).repeat(n, 0), axis=1
+            )[:, 0]
+            _, new_kv = _decode_one(
+                dec, cfg, tok_t, t, caches, cross_k, cross_v, src_valid,
+                pos_table, ln_skip=False,
+            )
+            return roll_in(caches, new_kv), None
+
+        self_caches, _ = jax.lax.scan(force, self_caches, jnp.arange(P))
+        state = (tokens, scores, finished, lengths)
+        first_t = P
+    else:
+        # ---- step 0.  The reference decodes a length-1 sequence here,
+        # where layer norm is skipped — but ONLY for this step's logits:
+        # when later steps recompute the full prefix (length >= 2),
+        # position 0's hidden states are re-derived WITH layer norm.  So
+        # the step-0 logits use the skip, while the cached K/V come from
+        # a with-LN pass.
+        logits0, new_kv = _decode_one(
             dec, cfg, tokens[:, 0], 0, self_caches, cross_k, cross_v,
-            src_valid, pos_table, ln_skip=True,
+            src_valid, pos_table, ln_skip=False,
         )
-    word_lk0 = jax.nn.log_softmax(logits0, axis=-1)
-    state, parent = _advance((tokens, scores, finished, lengths), word_lk0,
-                             0, beam_size, vocab)
-    self_caches = gather_lanes(roll_in(self_caches, new_kv), parent)
+        if cfg.ln_skip_len1:
+            logits0, _ = _decode_one(
+                dec, cfg, tokens[:, 0], 0, self_caches, cross_k, cross_v,
+                src_valid, pos_table, ln_skip=True,
+            )
+        word_lk0 = jax.nn.log_softmax(logits0, axis=-1)
+        state, parent = _advance((tokens, scores, finished, lengths),
+                                 word_lk0, 0, beam_size, vocab)
+        self_caches = gather_lanes(roll_in(self_caches, new_kv), parent)
+        first_t = 1
 
     def step(carry, t):
         state, caches = carry
@@ -215,7 +279,7 @@ def fast_beam_search(params, cfg, src, src_mask, *, beam_size, max_len):
         return (new_state, caches), None
 
     (state, _), _ = jax.lax.scan(step, (state, self_caches),
-                                 jnp.arange(1, max_len))
+                                 jnp.arange(first_t, max_len))
     tokens, scores, finished, lengths = state
     return BeamResult(
         tokens=tokens.reshape(b, beam_size, max_len + 1),

@@ -167,6 +167,7 @@ class Recognizer:
             new_params, _ = quantize_tree(new_params)
         with self.lock:  # swap between searches, never mid-search
             self.params = new_params
+            self._stream_params = None  # re-derive for streaming sessions
             self.model_file = path
             self.model_meta = ck.get("meta", {})
         info("reloaded checkpoint %s (epoch %s, step %s)", path,
@@ -206,6 +207,57 @@ class Recognizer:
 
     def check_features(self, feats):
         return _check_features(feats, self.cfg.src_dim)
+
+    @property
+    def stream_params(self):
+        """Float parameter tree for the streaming paths (the carried
+        encoders and the memory beam run outside quantized_search_fn's
+        dequantizing jit); dequantized once and cached when serving
+        int8."""
+        p = getattr(self, "_stream_params", None)
+        if p is None:
+            p = self.params
+            if self.quantize_weights:
+                from pytorch_kaldi_asr_tpu.ops.quant import dequantize_tree
+
+                p = dequantize_tree(self.params)
+            self._stream_params = p
+        return p
+
+    def new_attention_stream(self, stream_chunk=40):
+        """An :class:`_AttentionStream` for incremental partials, or None
+        when this model cannot stream exactly (non-causal band/conv or a
+        folded front end) — the handler then falls back to the
+        re-decode-accumulated-audio partial path."""
+        from pytorch_kaldi_asr_tpu.models.streaming import (
+            FixedChunkStream,
+            StreamingBandedEncoder,
+            StreamingConformer,
+            StreamingTDNN,
+        )
+
+        cfg = self.cfg
+        if cfg.src_fold != 1:
+            return None
+        try:
+            if cfg.encoder_type == "conformer":
+                frontend = FixedChunkStream(
+                    StreamingConformer(self.stream_params["encoder"], cfg),
+                    chunk=stream_chunk)
+            elif cfg.encoder_type == "banded":
+                frontend = FixedChunkStream(
+                    StreamingBandedEncoder(self.stream_params["encoder"],
+                                           cfg),
+                    chunk=stream_chunk)
+            elif cfg.encoder_type in ("tdnn", "tdnnf"):
+                from pytorch_kaldi_asr_tpu.models.transformer import encode
+
+                frontend = StreamingTDNN(self.stream_params, cfg, encode)
+            else:
+                return None
+        except ValueError:
+            return None  # non-causal band / non-causal conv
+        return _AttentionStream(self, frontend, self.lock)
 
     def recognize_many(self, feats_list, nbest=1, batch_pad=None):
         """Decode several utterances in ONE fixed-shape batched search
@@ -616,6 +668,84 @@ class HybridRecognizer:
             self.id2word, self.lock)
 
 
+class _AttentionStream:
+    """Incremental partials for attention-mode streaming sessions.
+
+    The round-3 partial path re-decoded ALL accumulated audio on every
+    ``partial: true`` push — O(T^2) per session.  Here a carried
+    streaming encoder (models/streaming.py — exact vs the offline
+    encoder) grows the cross-attention memory chunk by chunk, and each
+    partial restarts the KV-cached beam from the previous partial's
+    STABLE prefix via decode/fast_beam.fast_beam_search_memory: encoding
+    cost is paid once per frame, and the forced prefix skips the beam
+    bookkeeping for tokens that already converged.  ``finish`` is NOT
+    routed here — the handler still runs the offline Recognizer on the
+    full audio, preserving the reference decode.py result contract
+    exactly (partials are a serving-side extra; the reference has none).
+
+    Compile discipline: client chunks are re-chunked server-side
+    (FixedChunkStream), memory is padded to MEM_PAD-frame multiples, and
+    forced-prefix lengths are quantized down to PREFIX_QUANT multiples —
+    so a session compiles O(audio/MEM_PAD) search shapes, not one per
+    push."""
+
+    PREFIX_QUANT = 32   # forced-prefix lengths: multiples of this
+    STABLE_TAIL = 2     # a partial's last tokens may flip; never force them
+    MEM_PAD = 128       # memory padded to multiples (compile discipline)
+
+    def __init__(self, recognizer, frontend, lock):
+        self.rec = recognizer
+        self.frontend = frontend
+        self.lock = lock
+        self.frames = 0
+        self._mem = []        # emitted encoder chunks, [T_i, d] each
+        self._prev_ids = []   # previous partial's token ids (no BOS/EOS)
+
+    def push(self, feats, want_partial):
+        """Feed [T, D] frames; returns (total_frames, partial_text or
+        None when not requested / nothing decodable yet)."""
+        from pytorch_kaldi_asr_tpu.decode.fast_beam import (
+            fast_beam_search_memory,
+        )
+        from pytorch_kaldi_asr_tpu.decode.runner import (
+            ids_to_words,
+            nbest_from_result,
+        )
+
+        with self.lock:
+            self.frames += feats.shape[0]
+            emit = self.frontend.push(feats[None].astype(np.float32))
+            if emit is not None:
+                self._mem.append(np.asarray(emit[0], np.float32))
+            if not want_partial:
+                return self.frames, None
+            if not self._mem:
+                return self.frames, ""
+            mem = np.concatenate(self._mem, axis=0)  # [T, d]
+            t = mem.shape[0]
+            tp = -(-t // self.MEM_PAD) * self.MEM_PAD
+            enc = np.zeros((1, tp, mem.shape[1]), np.float32)
+            enc[0, :t] = mem
+            mask = np.zeros((1, tp), np.float32)
+            mask[0, :t] = 1.0
+            max_len = self.rec.max_len
+            p = len(self._prev_ids) - self.STABLE_TAIL
+            p = max(0, min(p, max_len - self.PREFIX_QUANT))
+            p -= p % self.PREFIX_QUANT
+            prefix = np.asarray([self._prev_ids[:p]], np.int32)
+            result = fast_beam_search_memory(
+                self.rec.stream_params, self.rec.cfg, enc, mask, prefix,
+                beam_size=self.rec.beam_size, max_len=max_len)
+            hyps = nbest_from_result(result, 1)[0]
+            if not hyps:
+                self._prev_ids = []
+                return self.frames, ""
+            seq, _score = hyps[0]
+            self._prev_ids = [int(x) for x in seq[1:-1]]
+            words = ids_to_words(self._prev_ids, self.rec.idx2word)
+            return self.frames, " ".join(words)
+
+
 class _HybridStream:
     """Per-session state: chunked AM frontend + carried-token decoder."""
 
@@ -740,6 +870,20 @@ class SessionStore:
             if "stream" not in s:
                 s["stream"] = recognizer.new_stream()
             return s["stream"]
+
+    def get_astream(self, sid, factory):
+        """Attention mode: the session's incremental-partial stream
+        (_AttentionStream), created on first use; ``factory`` may return
+        None (model cannot stream exactly), which is cached so the probe
+        runs once per session."""
+        with self._lock:
+            s = self._sessions.get(sid)
+            if s is None:
+                return None
+            s["touched"] = time.time()
+            if "astream" not in s:
+                s["astream"] = factory()
+            return s["astream"]
 
     def peek_stream(self, sid):
         """(exists, stream-or-None) without creating a stream — finish
@@ -1018,7 +1162,20 @@ def make_handler(recognizer, sessions=None, stats=None):
                     return 404, {"error": f"no session {sid}"}, None
                 out = {"frames": frames}
                 decoded = False
-                if payload.get("partial"):
+                # incremental path: carried streaming encoder + prefix-
+                # restarted KV beam (_AttentionStream); models that cannot
+                # stream exactly fall back to re-decoding the accumulated
+                # audio.  finish() below stays a full offline decode either
+                # way (reference decode.py result contract).
+                astream = sessions.get_astream(
+                    sid, recognizer.new_attention_stream)
+                if astream is not None:
+                    _, partial = astream.push(
+                        feats, bool(payload.get("partial")))
+                    if partial is not None:
+                        out["partial"] = partial
+                        decoded = True
+                elif payload.get("partial"):
                     chunks = sessions.snapshot(sid)
                     if chunks:
                         acc = np.concatenate(chunks, axis=0)

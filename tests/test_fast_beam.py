@@ -62,3 +62,63 @@ def test_fast_beam_window_longer_than_sequence():
     np.testing.assert_array_equal(
         np.asarray(slow.tokens), np.asarray(fast.tokens)
     )
+
+
+def test_memory_search_matches_full():
+    """fast_beam_search_memory with an empty prefix over the offline
+    encoder output IS fast_beam_search (the incremental-partial base
+    case)."""
+    import jax.numpy as jnp
+
+    from pytorch_kaldi_asr_tpu.decode.fast_beam import (
+        fast_beam_search,
+        fast_beam_search_memory,
+    )
+    from pytorch_kaldi_asr_tpu.models.transformer import encode
+
+    cfg, params, src, mask = _setup(seed=3, b=2)
+    full = fast_beam_search(params, cfg, src, mask, beam_size=3, max_len=10)
+    enc, mask_f = encode(params, cfg, src, mask, train=False)
+    mem = fast_beam_search_memory(
+        params, cfg, enc, mask_f, jnp.zeros((2, 0), jnp.int32),
+        beam_size=3, max_len=10)
+    np.testing.assert_array_equal(np.asarray(full.tokens),
+                                  np.asarray(mem.tokens))
+    np.testing.assert_allclose(np.asarray(full.scores),
+                               np.asarray(mem.scores), atol=1e-5)
+
+
+def test_memory_search_prefix_continuation():
+    """Greedy (beam 1) continuation from the full greedy search's own
+    prefix reproduces its suffix exactly — any corruption in the forced
+    KV caches would change the next-token logits and the pin would break.
+    (With beam > 1 the continuation may legitimately find a BETTER
+    suffix: all lanes restart from one prefix, a wider search than the
+    full pass gave that node.)"""
+    import jax.numpy as jnp
+
+    from pytorch_kaldi_asr_tpu.decode.fast_beam import (
+        fast_beam_search,
+        fast_beam_search_memory,
+    )
+    from pytorch_kaldi_asr_tpu.models.transformer import encode
+    from pytorch_kaldi_asr_tpu.utils import constants
+
+    cfg, params, src, mask = _setup(seed=5, b=1)
+    max_len = 10
+    full = fast_beam_search(params, cfg, src, mask, beam_size=1,
+                            max_len=max_len)
+    best = np.asarray(full.tokens)[0, 0]
+    best_len = int(np.asarray(full.lengths)[0, 0])
+    # continue from a 3-token forced prefix of the best path (no BOS)
+    p = min(3, max(best_len - 2, 1))
+    prefix = jnp.asarray(best[1:1 + p][None])
+    enc, mask_f = encode(params, cfg, src, mask, train=False)
+    cont = fast_beam_search_memory(params, cfg, enc, mask_f, prefix,
+                                   beam_size=1, max_len=max_len)
+    got = np.asarray(cont.tokens)[0, 0]
+    got_len = int(np.asarray(cont.lengths)[0, 0])
+    eff = min(best_len, max_len + 1)
+    assert got_len == best_len
+    np.testing.assert_array_equal(got[:eff], best[:eff])
+    assert int(got[0]) == constants.BOS

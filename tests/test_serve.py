@@ -628,3 +628,86 @@ def test_hybrid_conformer_streaming_matches_offline(tmp_path):
         st.push(feats[lo:lo + 6])
     text, score = st.finish()
     assert text == off[0][0]
+
+
+@pytest.fixture(scope="module")
+def banded_model_dir(tmp_path_factory):
+    """A causal banded-encoder checkpoint: the exact-streaming family
+    the incremental attention-partial path serves."""
+    tmp = tmp_path_factory.mktemp("serve_banded")
+    cfg = small_cfg(encoder_type="banded", encoder_sub_sequence=(-8, 0))
+    params = init_transformer(jax.random.PRNGKey(1), cfg)
+    save_checkpoint(str(tmp / "model"), params, cfg, epoch=0)
+    vocab = {"<blank>": 0, "<unk>": 1, "<s>": 2, "</s>": 3}
+    for i, w in enumerate(["aa", "bb", "cc", "dd"]):
+        vocab[w] = 4 + i
+    with open(tmp / "vocab.txt", "w") as f:
+        for w, i in vocab.items():
+            f.write(f"{w} {i}\n")
+    return tmp, cfg
+
+
+def test_attention_stream_incremental_partials(banded_model_dir):
+    """_AttentionStream grows the memory with the carried streaming
+    encoder and its final partial matches the offline full decode (the
+    padded memory is masked identically to the bucketed offline pad)."""
+    tmp, cfg = banded_model_dir
+    rec = serve_mod.Recognizer(str(tmp / "model"), str(tmp / "vocab.txt"),
+                               beam_size=3, buckets=(16,))
+    astream = rec.new_attention_stream(stream_chunk=4)
+    assert astream is not None
+    rng = np.random.default_rng(7)
+    audio = rng.normal(size=(12, cfg.src_dim)).astype(np.float32)
+    partials = []
+    for i in range(3):
+        frames, partial = astream.push(audio[4 * i:4 * (i + 1)], True)
+        partials.append(partial)
+    assert frames == 12
+    assert all(isinstance(p, str) for p in partials)
+    # exact-streaming encoder: the session memory equals offline encode
+    from pytorch_kaldi_asr_tpu.models.transformer import encode
+
+    mem = np.concatenate(astream._mem, axis=0)
+    off, _ = encode(rec.params, cfg, audio[None],
+                    np.ones((1, 12), np.uint8), train=False)
+    np.testing.assert_allclose(mem, np.asarray(off[0]), atol=2e-4)
+    # final partial == offline recognize (prefix is 0 here: the quant
+    # floor exceeds these short hypotheses, so the memory search IS the
+    # full search over the same masked memory)
+    hyps, _ = rec.recognize(audio, nbest=1)
+    assert partials[-1] == hyps[0][0]
+
+
+def test_attention_stream_prefix_restart(banded_model_dir, monkeypatch):
+    """With the prefix quant floor lowered, later partials force the
+    previous partial's stable prefix (exercising the restart path) and
+    still return sane text."""
+    tmp, cfg = banded_model_dir
+    monkeypatch.setattr(serve_mod._AttentionStream, "PREFIX_QUANT", 2)
+    rec = serve_mod.Recognizer(str(tmp / "model"), str(tmp / "vocab.txt"),
+                               beam_size=2, buckets=(16,))
+    astream = rec.new_attention_stream(stream_chunk=4)
+    rng = np.random.default_rng(9)
+    audio = rng.normal(size=(16, cfg.src_dim)).astype(np.float32)
+    last = ""
+    forced = False
+    for i in range(4):
+        _, last = astream.push(audio[4 * i:4 * (i + 1)], True)
+        forced = forced or len(astream._prev_ids) >= 4
+    assert isinstance(last, str)
+    assert forced  # at least one partial had a forcible prefix
+
+
+def test_attention_stream_none_for_noncausal(model_dir):
+    """Non-streamable models (tdnn with default band is fine, but a
+    non-causal banded encoder is not) fall back to None."""
+    tmp, cfg = model_dir
+    rec = serve_mod.Recognizer(str(tmp / "model"), str(tmp / "vocab.txt"),
+                               beam_size=2, buckets=(16,))
+    # the tdnn flagship streams via receptive-field overlap
+    assert rec.new_attention_stream() is not None
+    cfg2 = small_cfg(encoder_type="banded", encoder_sub_sequence=(-8, 2))
+    params = init_transformer(jax.random.PRNGKey(2), cfg2)
+    rec.cfg, rec.params = cfg2, params  # simulate a non-causal model
+    rec._stream_params = None
+    assert rec.new_attention_stream() is None
