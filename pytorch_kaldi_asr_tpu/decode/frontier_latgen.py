@@ -476,9 +476,8 @@ class FrontierLatgen:
         overflow = np.asarray(overflow)
         out = []
         for b in range(B):
-            if not np.isfinite(cost[b]):
-                out.append(None)
-                continue
+            # overflow first: an overflowed search's dead beam is not
+            # trustworthy — the host fallback may still find a path
             if overflow[b]:
                 # traceback overflow / broken frontier walk: host
                 # fallback for this utterance, never a truncated result
@@ -491,6 +490,9 @@ class FrontierLatgen:
                     max_active=self.max_active,
                     log_priors=self.log_priors,
                     sym_offset=self.sym_offset))
+                continue
+            if not np.isfinite(cost[b]):
+                out.append(None)
                 continue
             n = int(n_words[b])
             w = words[b, len(words[b]) - n:].tolist() if n else []

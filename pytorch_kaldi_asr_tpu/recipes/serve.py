@@ -213,16 +213,21 @@ class Recognizer:
         """Float parameter tree for the streaming paths (the carried
         encoders and the memory beam run outside quantized_search_fn's
         dequantizing jit); dequantized once and cached when serving
-        int8."""
-        p = getattr(self, "_stream_params", None)
-        if p is None:
-            p = self.params
-            if self.quantize_weights:
-                from pytorch_kaldi_asr_tpu.ops.quant import dequantize_tree
+        int8.  Derived and cached under the recognizer lock so a
+        concurrent reload cannot repopulate the cache with a pre-reload
+        tree."""
+        with self.lock:
+            p = getattr(self, "_stream_params", None)
+            if p is None:
+                p = self.params
+                if self.quantize_weights:
+                    from pytorch_kaldi_asr_tpu.ops.quant import (
+                        dequantize_tree,
+                    )
 
-                p = dequantize_tree(self.params)
-            self._stream_params = p
-        return p
+                    p = dequantize_tree(self.params)
+                self._stream_params = p
+            return p
 
     def new_attention_stream(self, stream_chunk=40):
         """An :class:`_AttentionStream` for incremental partials, or None
@@ -239,25 +244,25 @@ class Recognizer:
         cfg = self.cfg
         if cfg.src_fold != 1:
             return None
+        params = self.stream_params  # one generation for the whole session
         try:
             if cfg.encoder_type == "conformer":
                 frontend = FixedChunkStream(
-                    StreamingConformer(self.stream_params["encoder"], cfg),
+                    StreamingConformer(params["encoder"], cfg),
                     chunk=stream_chunk)
             elif cfg.encoder_type == "banded":
                 frontend = FixedChunkStream(
-                    StreamingBandedEncoder(self.stream_params["encoder"],
-                                           cfg),
+                    StreamingBandedEncoder(params["encoder"], cfg),
                     chunk=stream_chunk)
             elif cfg.encoder_type in ("tdnn", "tdnnf"):
                 from pytorch_kaldi_asr_tpu.models.transformer import encode
 
-                frontend = StreamingTDNN(self.stream_params, cfg, encode)
+                frontend = StreamingTDNN(params, cfg, encode)
             else:
                 return None
         except ValueError:
             return None  # non-causal band / non-causal conv
-        return _AttentionStream(self, frontend, self.lock)
+        return _AttentionStream(self, frontend, params)
 
     def recognize_many(self, feats_list, nbest=1, batch_pad=None):
         """Decode several utterances in ONE fixed-shape batched search
@@ -693,17 +698,28 @@ class _AttentionStream:
     STABLE_TAIL = 2     # a partial's last tokens may flip; never force them
     MEM_PAD = 128       # memory padded to multiples (compile discipline)
 
-    def __init__(self, recognizer, frontend, lock):
+    def __init__(self, recognizer, frontend, params):
+        # params are PINNED at creation: a mid-session /reload must not
+        # mix old-encoder memory (and an old-model forced prefix) with
+        # new decoder weights — the session finishes on the model it
+        # started with, like the hybrid path's new_stream
         self.rec = recognizer
         self.frontend = frontend
-        self.lock = lock
-        self.frames = 0
-        self._mem = []        # emitted encoder chunks, [T_i, d] each
-        self._prev_ids = []   # previous partial's token ids (no BOS/EOS)
+        self.params = params
+        self.lock = recognizer.lock
+        self.frames = 0          # frames already fed to the frontend
+        self._mem = []           # emitted encoder chunks, [T_i, d] each
+        self._prev_ids = []      # previous partial's token ids (no BOS/EOS)
 
-    def push(self, feats, want_partial):
-        """Feed [T, D] frames; returns (total_frames, partial_text or
-        None when not requested / nothing decodable yet)."""
+    def sync(self, chunks):
+        """Feed any accumulated-audio frames the frontend has not seen
+        (``chunks`` = the session's full chunk list) and decode a
+        partial.  Called ONLY on partial-requesting pushes — plain
+        push/finish sessions never pay the streaming encoder.  Returns
+        the partial text, or None when no encoder output is available
+        yet (the caller then falls back to the offline re-decode).  The
+        text lags the pushed audio by up to the server re-chunk size
+        (the carried remainder cannot be flushed mid-stream)."""
         from pytorch_kaldi_asr_tpu.decode.fast_beam import (
             fast_beam_search_memory,
         )
@@ -713,14 +729,14 @@ class _AttentionStream:
         )
 
         with self.lock:
-            self.frames += feats.shape[0]
-            emit = self.frontend.push(feats[None].astype(np.float32))
-            if emit is not None:
-                self._mem.append(np.asarray(emit[0], np.float32))
-            if not want_partial:
-                return self.frames, None
+            acc = np.concatenate(chunks, axis=0).astype(np.float32)
+            if acc.shape[0] > self.frames:
+                emit = self.frontend.push(acc[None, self.frames:])
+                self.frames = acc.shape[0]
+                if emit is not None:
+                    self._mem.append(np.asarray(emit[0], np.float32))
             if not self._mem:
-                return self.frames, ""
+                return None
             mem = np.concatenate(self._mem, axis=0)  # [T, d]
             t = mem.shape[0]
             tp = -(-t // self.MEM_PAD) * self.MEM_PAD
@@ -734,16 +750,16 @@ class _AttentionStream:
             p -= p % self.PREFIX_QUANT
             prefix = np.asarray([self._prev_ids[:p]], np.int32)
             result = fast_beam_search_memory(
-                self.rec.stream_params, self.rec.cfg, enc, mask, prefix,
+                self.params, self.rec.cfg, enc, mask, prefix,
                 beam_size=self.rec.beam_size, max_len=max_len)
             hyps = nbest_from_result(result, 1)[0]
             if not hyps:
                 self._prev_ids = []
-                return self.frames, ""
+                return ""
             seq, _score = hyps[0]
             self._prev_ids = [int(x) for x in seq[1:-1]]
             words = ids_to_words(self._prev_ids, self.rec.idx2word)
-            return self.frames, " ".join(words)
+            return " ".join(words)
 
 
 class _HybridStream:
@@ -875,14 +891,23 @@ class SessionStore:
         """Attention mode: the session's incremental-partial stream
         (_AttentionStream), created on first use; ``factory`` may return
         None (model cannot stream exactly), which is cached so the probe
-        runs once per session."""
+        runs once per session.  The factory runs OUTSIDE the store lock
+        (it may dequantize a whole int8 tree); a same-session race keeps
+        the first stream stored."""
         with self._lock:
             s = self._sessions.get(sid)
             if s is None:
                 return None
             s["touched"] = time.time()
+            if "astream" in s:
+                return s["astream"]
+        built = factory()
+        with self._lock:
+            s = self._sessions.get(sid)
+            if s is None:
+                return None
             if "astream" not in s:
-                s["astream"] = factory()
+                s["astream"] = built
             return s["astream"]
 
     def peek_stream(self, sid):
@@ -1162,25 +1187,29 @@ def make_handler(recognizer, sessions=None, stats=None):
                     return 404, {"error": f"no session {sid}"}, None
                 out = {"frames": frames}
                 decoded = False
-                # incremental path: carried streaming encoder + prefix-
-                # restarted KV beam (_AttentionStream); models that cannot
-                # stream exactly fall back to re-decoding the accumulated
-                # audio.  finish() below stays a full offline decode either
-                # way (reference decode.py result contract).
-                astream = sessions.get_astream(
-                    sid, recognizer.new_attention_stream)
-                if astream is not None:
-                    _, partial = astream.push(
-                        feats, bool(payload.get("partial")))
-                    if partial is not None:
-                        out["partial"] = partial
-                        decoded = True
-                elif payload.get("partial"):
+                if payload.get("partial"):
+                    # incremental path: carried streaming encoder +
+                    # prefix-restarted KV beam (_AttentionStream), built
+                    # lazily on the FIRST partial request (plain
+                    # push/finish sessions never pay the streaming
+                    # encoder) and caught up from the accumulated chunks.
+                    # Falls back to re-decoding the accumulated audio when
+                    # the model cannot stream exactly or no encoder
+                    # output is available yet.  finish() below stays a
+                    # full offline decode either way (reference decode.py
+                    # result contract).
+                    partial = None
+                    astream = sessions.get_astream(
+                        sid, recognizer.new_attention_stream)
                     chunks = sessions.snapshot(sid)
-                    if chunks:
+                    if astream is not None and chunks:
+                        partial = astream.sync(chunks)
+                    if partial is None and chunks:
                         acc = np.concatenate(chunks, axis=0)
                         hyps, _ = recognizer.recognize(acc, nbest=1)
-                        out["partial"] = hyps[0][0] if hyps else ""
+                        partial = hyps[0][0] if hyps else ""
+                    if partial is not None:
+                        out["partial"] = partial
                         decoded = True
                 return 200, out, ("decode" if decoded else "ok")
             else:  # finish: decode from a snapshot FIRST, pop only after

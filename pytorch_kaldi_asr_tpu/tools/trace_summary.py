@@ -38,7 +38,9 @@ def load_events(path):
     op = gzip.open if path.endswith(".gz") else open
     with op(path, "rt", encoding="utf-8", errors="replace") as f:
         data = json.load(f)
-    return data.get("traceEvents", data if isinstance(data, list) else [])
+    if isinstance(data, list):  # bare Chrome-trace event array
+        return data
+    return data.get("traceEvents", [])
 
 
 def summarize(logdir, top=10):

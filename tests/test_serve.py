@@ -658,11 +658,11 @@ def test_attention_stream_incremental_partials(banded_model_dir):
     assert astream is not None
     rng = np.random.default_rng(7)
     audio = rng.normal(size=(12, cfg.src_dim)).astype(np.float32)
-    partials = []
+    chunks, partials = [], []
     for i in range(3):
-        frames, partial = astream.push(audio[4 * i:4 * (i + 1)], True)
-        partials.append(partial)
-    assert frames == 12
+        chunks.append(audio[4 * i:4 * (i + 1)])
+        partials.append(astream.sync(chunks))
+    assert astream.frames == 12
     assert all(isinstance(p, str) for p in partials)
     # exact-streaming encoder: the session memory equals offline encode
     from pytorch_kaldi_asr_tpu.models.transformer import encode
@@ -689,10 +689,12 @@ def test_attention_stream_prefix_restart(banded_model_dir, monkeypatch):
     astream = rec.new_attention_stream(stream_chunk=4)
     rng = np.random.default_rng(9)
     audio = rng.normal(size=(16, cfg.src_dim)).astype(np.float32)
+    chunks = []
     last = ""
     forced = False
     for i in range(4):
-        _, last = astream.push(audio[4 * i:4 * (i + 1)], True)
+        chunks.append(audio[4 * i:4 * (i + 1)])
+        last = astream.sync(chunks)
         forced = forced or len(astream._prev_ids) >= 4
     assert isinstance(last, str)
     assert forced  # at least one partial had a forcible prefix
