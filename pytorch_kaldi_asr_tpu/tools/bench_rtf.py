@@ -370,6 +370,23 @@ def bench_frontier_crossover(beam=16.0, max_active=2000, batch=8,
     out["big_graph_states"] = graph_b.num_states
     out["frontier_big_vs_native"] = round(
         out["native_big_rtf"] / max(out["frontier_big_rtf"], 1e-9), 2)
+
+    # the frontier's best measured regime (see BASELINE.md round-4
+    # analysis): realistic pruning width + batch amortization.  Matched
+    # max_active on both paths so the comparison is search-equivalent.
+    B2, MA2 = 4 * batch, 256
+    posts_t, lens_t = _batched_posts(log_posts_b, B2)
+    audio_t = B2 * log_posts_b.shape[0] * 0.01
+    dec = FrontierLatgen(graph_b, beam=beam, max_active=MA2)
+    t, res = time_device(dec, posts_t, lens_t)
+    tn, ref = time_native(graph_b, posts_t, lens_t)
+    out["frontier_tuned_rtf"] = round(t / audio_t, 6)
+    out["frontier_tuned_agreement"] = agreement(res, ref)
+    out["native_tuned_rtf"] = round(tn / audio_t, 6)
+    out["frontier_tuned_vs_native"] = round(
+        out["native_tuned_rtf"] / max(out["frontier_tuned_rtf"], 1e-9), 2)
+    out["tuned_batch"] = B2
+    out["tuned_max_active"] = MA2
     return out
 
 

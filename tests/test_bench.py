@@ -17,7 +17,13 @@ def _tiny_scale(monkeypatch):
     monkeypatch.setattr(bench, "TGT_LEN", 8)
 
 
-def test_measure_jax_encoder_types():
+def test_measure_jax_encoder_types(monkeypatch):
+    # plumbing test, not a perf test: shrink the module-level bench shapes
+    # (recipe-scale 100x500 compiles two full models and took 96 s of the
+    # fast suite's round-3 budget)
+    monkeypatch.setattr(bench, "BATCH", 4)
+    monkeypatch.setattr(bench, "SRC_LEN", 64)
+    monkeypatch.setattr(bench, "TGT_LEN", 12)
     fps = bench.measure_jax(steps=1, warmup=1)
     assert fps > 0
     fps_c = bench.measure_jax(steps=1, warmup=1, encoder_type="conformer",

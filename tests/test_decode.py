@@ -78,13 +78,18 @@ def _lattice_oracle_decode(params, cfg, src, src_mask, beam_size, max_len):
 
 
 def test_beam_matches_lattice_oracle():
+    # kept small on purpose: the host oracle batches the ACTIVE sequences
+    # each step, so every distinct active-count compiles a fresh
+    # decode_logits shape — beam/max_len drive the compile count, which
+    # made this the slowest fast-suite test at beam 4 / max_len 12
+    # (105 s in the round-3 budget audit)
     cfg = small_cfg(decoder_sub_sequence=(-3, 0))
     params = init_transformer(jax.random.PRNGKey(11), cfg)
     rng = np.random.default_rng(0)
-    src = rng.normal(size=(3, 10, cfg.src_dim)).astype(np.float32)
-    src_mask = np.ones((3, 10), np.uint8)
-    src_mask[2, 6:] = 0
-    beam_size, max_len = 4, 12
+    src = rng.normal(size=(2, 10, cfg.src_dim)).astype(np.float32)
+    src_mask = np.ones((2, 10), np.uint8)
+    src_mask[1, 6:] = 0
+    beam_size, max_len = 3, 8
 
     result = beam_search(
         params, cfg, jnp.asarray(src), jnp.asarray(src_mask),

@@ -88,9 +88,12 @@ def test_sp_frame_ce_loss_rejects_fold():
                          np.zeros((1, 16), np.int32), mesh)
 
 
+@pytest.mark.slow
 def test_train_am_seq_shards_learns(tmp_path):
     """The -seq_shards path trains: 8-way time-sharded Conformer AM
-    reaches high frame accuracy on the word-conditioned synthetic task."""
+    reaches high frame accuracy on the word-conditioned synthetic task.
+    slow-marked (104 s in the round-3 fast-suite budget audit);
+    test_train_am_seq_shards_smoke keeps the path in the fast suite."""
     from pytorch_kaldi_asr_tpu.recipes.train_am import train_am
 
     _make_corpus(str(tmp_path))
@@ -102,6 +105,23 @@ def test_train_am_seq_shards_learns(tmp_path):
     )
     assert acc > 0.7
     # static pads divide evenly across the shards
+    assert cfg.encoder_max_len % 8 == 0
+
+
+def test_train_am_seq_shards_smoke(tmp_path):
+    """Fast-suite cover for the -seq_shards training path: one epoch on a
+    tiny corpus runs end-to-end and reports a finite dev accuracy (the
+    learning claim itself is the slow-marked test above)."""
+    from pytorch_kaldi_asr_tpu.recipes.train_am import train_am
+
+    _make_corpus(str(tmp_path), n_train=4, n_dev=2)
+    params, cfg, acc = train_am(
+        str(tmp_path / "train"), str(tmp_path / "dev"),
+        str(tmp_path / "am"), encoder_type="conformer", epochs=1,
+        batch_size=2, seq_shards=8, encoder_sub_sequence=(-16, 0),
+        en_d_model=32, lr=0.001,
+    )
+    assert 0.0 <= acc <= 1.0
     assert cfg.encoder_max_len % 8 == 0
 
 
