@@ -23,11 +23,15 @@ WER_RE = re.compile(
 )
 
 
-def best_wer(work, split):
-    """(wer, detail dict) of the best rescoring weight for one split."""
+def best_wer(work, split, subdir=None):
+    """(wer, detail dict) of the best rescoring weight for one split.
+    ``subdir`` overrides the default decode_{split} directory (the
+    matched-epoch protocol's decode_ep{N}_{split} outputs from
+    decode_checkpoint.sh)."""
     best = None
     for path in sorted(
-        glob.glob(os.path.join(work, f"decode_{split}", "scoring", "*_wer"))
+        glob.glob(os.path.join(work, subdir or f"decode_{split}",
+                               "scoring", "*_wer"))
     ):
         with open(path) as f:
             m = WER_RE.search(f.read())
@@ -57,6 +61,10 @@ def main(argv=None):
     ap.add_argument("--md")
     ap.add_argument("--meta", nargs="*", default=[],
                     help="extra k=v pairs recorded in the JSON")
+    ap.add_argument("--epochs", nargs="*", type=int, default=[],
+                    help="also collect matched-epoch decodes "
+                         "(decode_ep{N}_{split} dirs from "
+                         "decode_checkpoint.sh) for these epochs")
     opt = ap.parse_args(argv)
 
     report = {"splits": {}}
@@ -78,6 +86,32 @@ def main(argv=None):
             f"| {tpu['wer']:.2f}% ({tpu['errors']}/{tpu['words']}) "
             f"| {delta:+.2f} |"
         )
+    if opt.epochs:
+        report["matched_epochs"] = {}
+        lines += [
+            "",
+            "| epoch | split | reference | this framework | delta |",
+            "|---|---|---|---|---|",
+        ]
+        for ep in opt.epochs:
+            report["matched_epochs"][str(ep)] = {}
+            for split in ("dev", "test"):
+                sub = f"decode_ep{ep}_{split}"
+                try:
+                    ref = best_wer(opt.ref, split, subdir=sub)
+                    tpu = best_wer(opt.tpu, split, subdir=sub)
+                except SystemExit:
+                    continue
+                delta = tpu["wer"] - ref["wer"]
+                report["matched_epochs"][str(ep)][split] = {
+                    "reference": ref, "tpu": tpu, "delta": round(delta, 2),
+                }
+                lines.append(
+                    f"| {ep} | {split} "
+                    f"| {ref['wer']:.2f}% ({ref['errors']}/{ref['words']}) "
+                    f"| {tpu['wer']:.2f}% ({tpu['errors']}/{tpu['words']}) "
+                    f"| {delta:+.2f} |"
+                )
     md = "\n".join(lines)
     print(md)
     if opt.json:
