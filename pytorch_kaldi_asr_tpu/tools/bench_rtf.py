@@ -390,12 +390,97 @@ def bench_frontier_crossover(beam=16.0, max_active=2000, batch=8,
     return out
 
 
+def bench_partials(total_frames=1500, chunk=40, feat_dim=40, beam=8,
+                   partial_every=4, max_len=60, seed=0, **cfg_overrides):
+    """Incremental attention-mode partials vs full re-decode (VERDICT r3 #7).
+
+    One growing streaming session: every ``partial_every`` pushes, time
+    (a) the incremental path — serve._AttentionStream.sync: carried
+    streaming encoder + KV-cached beam restarted from the previous
+    partial's stable prefix — against (b) the round-3 path: offline
+    re-decode of ALL accumulated audio (Recognizer.recognize).  A full
+    warmup session runs first so the timed session hits only cached
+    executables (the serving warmup contract).  The headline is the
+    END-of-session latency ratio: the incremental path's cost is flat in
+    session age while the re-decode path grows with it."""
+    import os
+    import tempfile
+
+    import jax
+
+    from pytorch_kaldi_asr_tpu.models import (
+        TransformerConfig,
+        init_transformer,
+    )
+    from pytorch_kaldi_asr_tpu.recipes.serve import Recognizer
+    from pytorch_kaldi_asr_tpu.train.checkpoint import save_checkpoint
+
+    cfg = TransformerConfig(src_dim=feat_dim, vocab_size=52,
+                            encoder_max_len=total_frames + 100,
+                            decoder_max_len=max_len + 4, **cfg_overrides)
+    params = init_transformer(jax.random.PRNGKey(seed), cfg)
+    tmp = tempfile.mkdtemp(prefix="bench_partials_")
+    ckpt = os.path.join(tmp, "model")
+    save_checkpoint(ckpt, params, cfg)
+    vocab = os.path.join(tmp, "vocab.txt")
+    with open(vocab, "w") as f:
+        for i in range(cfg.vocab_size):
+            f.write(f"w{i} {i}\n")
+    q = max(chunk * partial_every, 100)
+    buckets = tuple(q * i for i in range(1, -(-total_frames // q) + 1))
+    rec = Recognizer(ckpt, vocab, beam_size=beam, max_token_seq_len=max_len,
+                     buckets=buckets)
+
+    rng = np.random.default_rng(seed)
+    feats = rng.normal(size=(total_frames, feat_dim)).astype(np.float32)
+
+    def run_session(timed):
+        astream = rec.new_attention_stream(stream_chunk=chunk)
+        assert astream is not None, "model must stream exactly"
+        chunks, rows = [], []
+        for i, lo in enumerate(range(0, total_frames, chunk)):
+            chunks.append(feats[lo:lo + chunk])
+            if (i + 1) % partial_every:
+                continue
+            t0 = time.perf_counter()
+            astream.sync(list(chunks))
+            t_inc = time.perf_counter() - t0
+            acc = np.concatenate(chunks, axis=0)
+            t0 = time.perf_counter()
+            rec.recognize(acc)
+            t_full = time.perf_counter() - t0
+            if timed:
+                rows.append((len(chunks) * chunk, t_inc, t_full))
+        return rows
+
+    run_session(timed=False)  # compile every memory-pad/prefix/bucket shape
+    rows = run_session(timed=True)
+    first, last = rows[0], rows[-1]
+    mid = rows[len(rows) // 2]
+    return {
+        "metric": "partials_incremental_vs_redecode",
+        "value": round(last[2] / max(last[1], 1e-9), 2),
+        "unit": "x faster at end-of-session",
+        "session_sec": round(total_frames * 0.01, 1),
+        "partials_timed": len(rows),
+        "first_ms": {"frames": first[0], "incremental": round(first[1] * 1e3, 1),
+                     "redecode": round(first[2] * 1e3, 1)},
+        "mid_ms": {"frames": mid[0], "incremental": round(mid[1] * 1e3, 1),
+                   "redecode": round(mid[2] * 1e3, 1)},
+        "last_ms": {"frames": last[0], "incremental": round(last[1] * 1e3, 1),
+                    "redecode": round(last[2] * 1e3, 1)},
+        "session_total_ms": {
+            "incremental": round(sum(r[1] for r in rows) * 1e3, 1),
+            "redecode": round(sum(r[2] for r in rows) * 1e3, 1)},
+    }
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--which",
                         choices=["posterior", "decode", "streaming",
                                  "hybrid", "hybrid_device", "frontier",
-                                 "all"],
+                                 "partials", "all"],
                         default="all")
     opt = parser.parse_args(argv)
     if opt.which in ("posterior", "all"):
@@ -410,6 +495,8 @@ def main(argv=None):
         print(json.dumps(bench_hybrid_device()))
     if opt.which in ("frontier", "all"):
         print(json.dumps(bench_frontier_crossover()))
+    if opt.which in ("partials", "all"):
+        print(json.dumps(bench_partials()))
     return 0
 
 

@@ -71,3 +71,14 @@ def test_hybrid_bench_setup_decodable():
     res = latgen(graph, posts, beam=16.0, max_active=2000)
     assert res is not None
     assert np.isfinite(res[2])
+
+
+def test_bench_partials_incremental_vs_redecode():
+    r = bench_rtf.bench_partials(total_frames=96, chunk=16, partial_every=2,
+                                 beam=2, max_len=6, en_layers=1, de_layers=1,
+                                 en_d_model=32, de_d_model=32, d_k=8, d_v=8,
+                                 n_head=1)
+    assert r["metric"] == "partials_incremental_vs_redecode"
+    assert r["partials_timed"] == 3
+    for row in (r["first_ms"], r["mid_ms"], r["last_ms"]):
+        assert row["incremental"] > 0 and row["redecode"] > 0
