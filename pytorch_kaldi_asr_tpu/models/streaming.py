@@ -47,7 +47,23 @@ def receptive_field(cfg):
 
 
 class StreamingTDNN:
-    """Chunked driver for the tdnn/tdnnf encoders via overlap recompute."""
+    """Chunked driver for the tdnn/tdnnf encoders via overlap recompute.
+
+    Each push runs at most ONE jitted forward over the carried buffer —
+    an eager forward costs one tunnel round-trip per op, measured at
+    ~500 ms vs ~RTT per partial on the axon transport (BASELINE.md
+    round-4 partials A/B).  Compile discipline without breaking
+    exactness: the buffer is NEVER padded (the TDNN's symmetric context
+    means trailing pad frames would leak f(bias) values back into the
+    last real frames at depth — zero-pad equality is impossible), so
+    instead the EMISSION is quantized: a forward runs only when at least
+    :data:`QUANT` frames are ready, over a window of exactly
+    ``hist + k*QUANT + right_rf`` real frames.  Under a fixed push
+    cadence (serving re-chunks clients server-side) the window shape set
+    is tiny and steady; ragged session tails compile their own exact
+    shape once, at session end only."""
+
+    QUANT = 32  # emit-granularity (bounds compiled window shapes)
 
     def __init__(self, params, cfg, apply_fn):
         if cfg.encoder_type not in ("tdnn", "tdnnf"):
@@ -66,42 +82,68 @@ class StreamingTDNN:
         self._hist_len = 0
         self._global0 = 0
 
-    def push(self, chunk):
-        """Feed [B, T, D] new frames; returns outputs for every frame whose
-        full receptive field is now available (lags the input by
-        ``right_rf`` frames), or None if nothing is ready yet."""
-        chunk = np.asarray(chunk)
-        if self._buf is None:
-            self._buf = chunk
-            self._hist_len = 0
-        else:
-            self._buf = np.concatenate([self._buf, chunk], axis=1)
-        p0 = self._hist_len  # first un-emitted frame
-        n_pending = self._buf.shape[1] - p0
-        n_ready = n_pending - self.right_rf
-        if n_ready <= 0:
-            return None
-        mask = jnp.ones(self._buf.shape[:2], jnp.uint8)
-        out, _ = self.apply(self.params, self.cfg, jnp.asarray(self._buf),
-                            mask, pos_offset=self._global0)
-        emit = np.asarray(out[:, p0 : p0 + n_ready])
+    def _fwd(self, win_len):
+        """One compiled forward over ``buf[:, :win_len]`` (exact length,
+        no padding); memo-keyed on (cfg, apply) so every session of one
+        server shares executables.  params/pos_offset are traced (hot
+        reload does not recompile)."""
+        cfg, apply = self.cfg, self.apply
+
+        def build():
+            import jax
+
+            def f(p, buf, off):
+                mask = jnp.ones(buf.shape[:2], jnp.uint8)
+                out, _ = apply(p, cfg, buf, mask, pos_offset=off)
+                return out
+
+            return jax.jit(f)
+
+        fn = _memo_jit(("tdnn_push", cfg, apply), build)
+        return fn(self.params, self._buf[:, :win_len],
+                  jnp.int32(self._global0))
+
+    def _emit(self, n_emit, win_len):
+        """Forward over the first ``win_len`` buffer frames, emit
+        ``n_emit`` frames starting at the first un-emitted one, advance
+        the buffer."""
+        p0 = self._hist_len
+        out = self._fwd(win_len)
+        emit = np.asarray(out[:, p0 : p0 + n_emit])
         # drop frames no longer needed as left context
-        new_first_pending = p0 + n_ready
+        new_first_pending = p0 + n_emit
         drop = max(0, new_first_pending - self.left_rf)
         self._buf = self._buf[:, drop:]
         self._hist_len = new_first_pending - drop
         self._global0 += drop
         return emit
 
+    def push(self, chunk):
+        """Feed [B, T, D] new frames; returns outputs for ready frames in
+        QUANT multiples (a frame is ready when its full receptive field
+        is available — the emission lags the input by ``right_rf`` plus
+        up to QUANT-1 carried frames), or None if nothing is ready."""
+        chunk = np.asarray(chunk)
+        if self._buf is None:
+            self._buf = chunk
+            self._hist_len = 0
+        else:
+            self._buf = np.concatenate([self._buf, chunk], axis=1)
+        n_ready = self._buf.shape[1] - self._hist_len - self.right_rf
+        k = n_ready // self.QUANT
+        if k <= 0:
+            return None
+        n_emit = k * self.QUANT
+        return self._emit(n_emit, self._hist_len + n_emit + self.right_rf)
+
     def flush(self):
-        """End of stream: emit the final right_rf-lagged frames (their right
-        context is padding-zero, exactly as the offline encoder sees)."""
+        """End of stream: emit every remaining frame (the final right_rf
+        frames see zero right-context, exactly as the offline encoder
+        sees past the utterance end)."""
         if self._buf is None or self._buf.shape[1] <= self._hist_len:
             return None
-        mask = jnp.ones(self._buf.shape[:2], jnp.uint8)
-        out, _ = self.apply(self.params, self.cfg, jnp.asarray(self._buf),
-                            mask, pos_offset=self._global0)
-        emit = np.asarray(out[:, self._hist_len:])
+        emit = self._emit(self._buf.shape[1] - self._hist_len,
+                          self._buf.shape[1])
         self.reset()
         return emit
 

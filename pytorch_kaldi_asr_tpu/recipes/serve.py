@@ -639,12 +639,11 @@ class HybridRecognizer:
             StreamingTDNN,
         )
 
-        def apply_fn(p, c, buf, m, pos_offset=0):
-            return am_log_posteriors(p, c, buf, m, pos_offset=pos_offset)
-
-        # The chunked forward is eager (buffer lengths vary per push, so a
-        # jit would recompile per shape): dequantize ONCE per stream here
-        # rather than rebuilding the float tree on every chunk.
+        # am_log_posteriors is passed as-is: StreamingTDNN memo-keys its
+        # compiled push on (cfg, apply), so a module-level function lets
+        # every session share one executable (a per-stream lambda would
+        # recompile per session).  Dequantize ONCE per stream here rather
+        # than rebuilding the float tree on every chunk.
         stream_params = self.params
         if self.quantize_weights:
             from pytorch_kaldi_asr_tpu.ops.quant import dequantize_tree
@@ -662,7 +661,8 @@ class HybridRecognizer:
             frontend = FixedChunkStream(StreamingAM(stream_params, self.cfg),
                                         chunk=self.stream_chunk)
         else:
-            frontend = StreamingTDNN(stream_params, self.cfg, apply_fn)
+            frontend = StreamingTDNN(stream_params, self.cfg,
+                                     am_log_posteriors)
 
         return _HybridStream(
             frontend,
