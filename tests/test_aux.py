@@ -330,3 +330,48 @@ def test_profile_trace_and_summary(tmp_path):
     assert summary
     md = format_md(summary)
     assert "| op |" in md and "total" in md
+
+
+def test_trace_source_attribution(tmp_path):
+    """summarize_by_source aggregates HLO events by their jaxpr source
+    line, summing bytes_accessed/model_flops (the HBM-attribution view
+    used for docs/TRACE_r4.md)."""
+    import gzip
+    import json
+
+    from pytorch_kaldi_asr_tpu.tools.trace_summary import (
+        format_source_md,
+        summarize_by_source,
+    )
+
+    def ev(name, dur, src, cat, nbytes, flops):
+        return {"ph": "X", "pid": 3, "tid": 3, "ts": 0.0, "dur": dur,
+                "name": name,
+                "args": {"hlo_category": cat, "source": src,
+                         "bytes_accessed": str(nbytes),
+                         "model_flops": str(flops)}}
+
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        ev("fusion.1", 10.0, "/root/repo/m.py:5", "loop fusion", 100, 7),
+        ev("fusion.2", 30.0, "/root/repo/m.py:5", "loop fusion", 200, 3),
+        ev("conv.1", 60.0, "m.py:9", "convolution fusion", 400, 90),
+        # host-side python frame (no hlo_category): must be ignored
+        {"ph": "X", "pid": 3, "ts": 0.0, "dur": 999.0, "name": "host",
+         "args": {}},
+    ]
+    p = tmp_path / "plugins" / "profile" / "r" / "vm.trace.json.gz"
+    p.parent.mkdir(parents=True)
+    with gzip.open(p, "wt") as f:
+        json.dump({"traceEvents": events}, f)
+    s = summarize_by_source(str(tmp_path), top=5)
+    track = s["/device:TPU:0"]
+    assert track["total_us"] == 100.0  # host frame excluded
+    rows = {r[0]: r[1:] for r in track["rows"]}
+    assert rows["m.py:9"] == (60.0, 400, 90, 1)
+    assert rows["m.py:5"] == (40.0, 300, 10, 2)  # merged + prefix-stripped
+    cats = {r[0]: r[1:] for r in track["category_rows"]}
+    assert cats["convolution fusion"][0] == 60.0
+    md = format_source_md(s)
+    assert "GB moved" in md and "m.py:9" in md
