@@ -99,6 +99,7 @@ def host_only_record():
 BATCH = 100
 SRC_LEN = 500  # the recipe's hard length cap (run.sh:30-35)
 TGT_LEN = 48
+CFG_OVERRIDES = {}  # extra TransformerConfig kwargs (test-size hook)
 SRC_DIM = 40
 VOCAB = 52
 
@@ -113,8 +114,8 @@ def _flagship_setup(encoder_type=None, stream_bf16=None):
     encoder_type = encoder_type or os.environ.get("BENCH_MODEL", "tdnn")
     if stream_bf16 is None:
         stream_bf16 = os.environ.get("BENCH_STREAM", "") == "bf16"
-    extra = {}
-    if stream_bf16:
+    extra = dict(CFG_OVERRIDES)  # test hook: shrink the MODEL, not just
+    if stream_bf16:              # the batch (compile time dominates on CPU)
         extra["conformer_stream_dtype"] = jnp.bfloat16
     cfg = TransformerConfig(
         src_dim=SRC_DIM, vocab_size=VOCAB, compute_dtype=jnp.bfloat16,

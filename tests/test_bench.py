@@ -19,11 +19,17 @@ def _tiny_scale(monkeypatch):
 
 def test_measure_jax_encoder_types(monkeypatch):
     # plumbing test, not a perf test: shrink the module-level bench shapes
-    # (recipe-scale 100x500 compiles two full models and took 96 s of the
-    # fast suite's round-3 budget)
+    # AND the model itself — at recipe-default widths the two fwd+bwd
+    # compiles alone took 107 s of the round-4 budget audit on the 1-core
+    # box; the tiny model pins the same code path
     monkeypatch.setattr(bench, "BATCH", 4)
     monkeypatch.setattr(bench, "SRC_LEN", 64)
     monkeypatch.setattr(bench, "TGT_LEN", 12)
+    monkeypatch.setattr(bench, "CFG_OVERRIDES", {
+        "en_layers": 1, "de_layers": 1, "n_head": 2,
+        "en_d_model": 32, "de_d_model": 32, "d_k": 16, "d_v": 16,
+        "encoder_max_len": 64, "decoder_max_len": 16,
+    })
     fps = bench.measure_jax(steps=1, warmup=1)
     assert fps > 0
     fps_c = bench.measure_jax(steps=1, warmup=1, encoder_type="conformer",

@@ -247,6 +247,8 @@ def test_banded_encoder_inference_path_matches_training_math():
     np.testing.assert_allclose(np.asarray(got), np.asarray(x), atol=2e-5)
 
 
+@pytest.mark.slow  # numerics-closeness A/B (35 s of compiles); the bf16
+# stream's plumbing is covered by the sp/streaming equality tests
 def test_conformer_bf16_stream_close_to_f32_stream():
     """conformer_stream_dtype=bfloat16 (the HBM/VPU-saving fast path) must
     track the f32-stream output closely and keep gradients finite."""

@@ -27,7 +27,13 @@ def _make_corpus(tmp_path, n_train=12, n_dev=4, seed=0):
                  word_means=wm, **shape)
 
 
-@pytest.mark.parametrize("enc", ["conformer", "banded"])
+@pytest.mark.parametrize(
+    "enc",
+    ["banded",
+     # the conformer variant re-pins the same CE plumbing over the sp
+     # conformer encoder (41 s of compiles); the sp conformer itself is
+     # equality-pinned in test_sequence_parallel.py — keep it nightly
+     pytest.param("conformer", marks=pytest.mark.slow)])
 def test_sp_frame_ce_loss_matches_single_device(enc):
     """Dropout-free SP frame CE == models/am.py frame_ce_loss exactly
     (same loss sum, same correct/total counts)."""

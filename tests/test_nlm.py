@@ -2,13 +2,9 @@
 recipes/score_lm.py -nlm_model_dir): the rnnlm_compute_scores.sh role."""
 
 import os
-import subprocess
-import sys
 
 import numpy as np
 import pytest
-
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 VOCAB = {"<blank>": 0, "<unk>": 1, "<s>": 2, "</s>": 3,
          "the": 4, "cat": 5, "sat": 6, "dog": 7, "ran": 8}
@@ -97,24 +93,23 @@ def test_nlm_scoring_never_truncates_long_hypotheses(trained):
 
 
 def test_score_lm_nlm_cli_line_aligned_and_rescorable(trained, tmp_path):
+    # CLIs invoked in-process through their argparse main()s — the same
+    # surface a shell gets, without two fresh-interpreter jax imports
+    # (this was a 45 s subprocess test in the round-4 budget audit)
+    from pytorch_kaldi_asr_tpu.recipes import rescore, score_lm
+
     tmp, _params, _cfg, _ppl = trained
     decode = tmp_path / "decode.txt"
     with open(decode, "w", encoding="utf-8") as f:
         f.write("utt1\t-1.0\tthe cat sat\n")
         f.write("utt1\t-0.9\tsat the cat\n")
         f.write("utt2\t-1.2\tthe dog ran\n")
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH",
-                                                             ""))
-    proc = subprocess.run(
-        [sys.executable, "-m", "pytorch_kaldi_asr_tpu.recipes.score_lm",
-         "-decode_file", str(decode),
+    rc = score_lm.main(
+        ["-decode_file", str(decode),
          "-nlm_model_dir", str(tmp / "nlm"),
          "-read_vocab_file", str(tmp / "vocab.txt"),
-         "-save_score_file", str(tmp_path / "nlm.score.txt")],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
-    )
-    assert proc.returncode == 0, proc.stderr + proc.stdout
+         "-save_score_file", str(tmp_path / "nlm.score.txt")])
+    assert not rc
     scores = (tmp_path / "nlm.score.txt").read_text().splitlines()
     assert len(scores) == 3  # line-aligned with the n-best input
     vals = [float(s) for s in scores]
@@ -122,15 +117,12 @@ def test_score_lm_nlm_cli_line_aligned_and_rescorable(trained, tmp_path):
     assert vals[0] > vals[1]  # the LM prefers the grammatical hypothesis
 
     # the standard rescorer consumes the neural scores unchanged
-    proc = subprocess.run(
-        [sys.executable, "-m", "pytorch_kaldi_asr_tpu.recipes.rescore",
-         "-decode_file", str(decode),
+    rc = rescore.main(
+        ["-decode_file", str(decode),
          "-lm_score", str(tmp_path / "nlm.score.txt"),
          "-inv_weight_list", "1",
-         "-save_dir", str(tmp_path)],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
-    )
-    assert proc.returncode == 0, proc.stderr + proc.stdout
+         "-save_dir", str(tmp_path)])
+    assert not rc
     rescored = [p for p in os.listdir(tmp_path) if p.startswith("rescore")]
     assert rescored
     body = (tmp_path / rescored[0]).read_text()
