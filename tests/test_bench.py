@@ -88,3 +88,27 @@ def test_bench_partials_incremental_vs_redecode():
     assert r["partials_timed"] == 3
     for row in (r["first_ms"], r["mid_ms"], r["last_ms"]):
         assert row["incremental"] > 0 and row["redecode"] > 0
+
+
+def test_watchdog_emits_headline_line_on_deadline():
+    # the driver captures bench.py's LAST stdout line; a driver-side
+    # timeout must never lose the whole record.  BENCH_DEADLINE=0 makes
+    # the watchdog fire during the headline stage: the process must
+    # still exit 0 with a well-formed JSON line tagged with the stage
+    # that was in flight.
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_DEADLINE="0")
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(bench.__file__),
+                                      "bench.py")],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "am_train_throughput"
+    assert rec["unit"] == "frames/sec/chip"
+    assert rec["deadline_hit_during"] == "headline"
