@@ -571,13 +571,24 @@ def _start_watchdog(record, state):
         rest = deadline - (time.time() - _T0)
         if rest > 0:
             time.sleep(rest)
-        with state["lock"]:
-            if state["done"]:
-                return
-            state["done"] = True
-            record["deadline_hit_during"] = state["stage"]
-            print(json.dumps(record), flush=True)
-        os._exit(0)
+        fired = False
+        try:
+            with state["lock"]:
+                if state["done"]:
+                    return
+                state["done"] = True
+                fired = True
+                record["deadline_hit_during"] = state["stage"]
+                # shallow-copy + dumps under the lock: main() mutates
+                # record only while holding the same lock, so the dict
+                # cannot change size mid-serialization here
+                line = json.dumps(dict(record))
+            print(line, flush=True)
+        finally:
+            # hard-exit even if serialization raised — a dead watchdog
+            # with done=True would otherwise suppress main's final print
+            if fired:
+                os._exit(0)
 
     threading.Thread(target=fire, daemon=True).start()
 
@@ -592,38 +603,51 @@ def main():
         f"am_train_throughput_{model}"
     record = {
         "metric": metric,
-        "value": 0.0,
+        # null until measured: an early watchdog line must not be
+        # parseable as a zero-frames/sec measurement (ADVICE round 4)
+        "value": None,
         "unit": "frames/sec/chip",
-        "vs_baseline": 0.0,
+        "vs_baseline": None,
     }
+
+    def upd(*dicts, **kv):
+        # all record mutations hold the watchdog's lock (see
+        # _start_watchdog: fire() serializes under the same lock)
+        with state["lock"]:
+            for d in dicts:
+                record.update(d)
+            record.update(kv)
+
     _start_watchdog(record, state)
     value = measure_jax()
     baseline = get_baseline()
-    record["value"] = round(value, 1)
-    record["vs_baseline"] = round(value / baseline, 2)
+    upd(value=round(value, 1), vs_baseline=round(value / baseline, 2))
     if model == "tdnn" and os.environ.get("BENCH_SKIP_E2E") != "1":
         # end-to-end pipeline (ark -> bucketing -> prefetch -> step) and
         # roofline numbers ride along in the same JSON line
         try:
             state["stage"] = "e2e"
             e2e_valid, e2e_padded, host_rate, xfer = measure_pipeline_e2e()
-            record["e2e_valid_frames_per_sec"] = round(e2e_valid, 1)
-            record["e2e_padded_frames_per_sec"] = round(e2e_padded, 1)
-            record["pipeline_efficiency"] = round(e2e_padded / value, 3)
-            # the host-side pipeline's own rate, and the measured
-            # host->device bandwidth that bounds the e2e number (the axon
-            # tunnel is ~3 orders of magnitude below a real PCIe host)
-            record["host_pipeline_frames_per_sec"] = round(host_rate, 1)
-            record["transfer_mb_per_sec"] = round(xfer, 1)
+            upd(
+                e2e_valid_frames_per_sec=round(e2e_valid, 1),
+                e2e_padded_frames_per_sec=round(e2e_padded, 1),
+                pipeline_efficiency=round(e2e_padded / value, 3),
+                # the host-side pipeline's own rate, and the measured
+                # host->device bandwidth that bounds the e2e number (the
+                # axon tunnel is ~3 orders of magnitude below a real
+                # PCIe host)
+                host_pipeline_frames_per_sec=round(host_rate, 1),
+                transfer_mb_per_sec=round(xfer, 1),
+            )
         except Exception as e:  # never fail the headline number
-            record["e2e_error"] = repr(e)[:200]
+            upd(e2e_error=repr(e)[:200])
         try:
             state["stage"] = "mfu"
             roofline = measure_mfu(fps=value)
             if roofline:
-                record.update(roofline)
+                upd(roofline)
         except Exception as e:
-            record["mfu_error"] = repr(e)[:200]
+            upd(mfu_error=repr(e)[:200])
     # every headline claim rides in the SAME driver-captured JSON line
     # (BENCH_FULL=0 opts out if a driver timeout ever bites)
     if model == "tdnn" and os.environ.get("BENCH_FULL", "1") != "0":
@@ -632,11 +656,11 @@ def main():
                 state["stage"] = name
                 out = fn()
                 if isinstance(out, dict):
-                    record.update(out)
+                    upd(out)
                 else:
-                    record[name] = out
+                    upd(**{name: out})
             except Exception as e:
-                record[f"{name}_error"] = repr(e)[:200]
+                upd(**{f"{name}_error": repr(e)[:200]})
             print(f"[bench] {name} done", file=sys.stderr)
 
         def _conformer():

@@ -230,11 +230,14 @@ def pp_banded_encode(params, cfg, src, mask, mesh, *, n_microbatches=None,
 
 
 def pp_frame_ce_loss(params, cfg, src, src_mask, targets, mesh, *,
-                     n_microbatches=None, train=False, rng=None):
+                     n_microbatches=None, train=False, rng=None,
+                     utt_valid=None):
     """Frame-level CE with the encoder stack pipelined (models/am.py
     frame_ce_loss semantics: fold → encoder → head → masked CE; returns
     (loss_sum, n_correct, n_frames)).  ``params`` is an AM pytree
-    (init_am with a banded encoder)."""
+    (init_am with a banded encoder).  ``utt_valid`` [B] additionally
+    excludes the loader's duplicated tail rows ('all' mode), matching
+    frame_ce_loss."""
     from pytorch_kaldi_asr_tpu.models.am import head_log_posteriors
     from pytorch_kaldi_asr_tpu.models.transformer import fold_seq_and_mask
 
@@ -244,6 +247,8 @@ def pp_frame_ce_loss(params, cfg, src, src_mask, targets, mesh, *,
                            rng=rng)
     logp = head_log_posteriors(params, cfg, enc)
     valid = mask.astype(jnp.float32)
+    if utt_valid is not None:
+        valid = valid * jnp.asarray(utt_valid).astype(jnp.float32)[:, None]
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1).squeeze(-1)
     loss = jnp.sum(nll * valid)
     pred = jnp.argmax(logp, axis=-1)

@@ -39,6 +39,10 @@ def main(argv=None):
                              "ArchiveBatchLoader.py:1-79 role)")
     parser.add_argument("-label_smoothing", action="store_true")
     parser.add_argument("-save_interval", type=int, default=10)
+    parser.add_argument("-seed", type=int, default=0,
+                        help="training seed (epoch shuffling + dropout); "
+                             "pair with initialize_model -seed for a fully "
+                             "independent draw (seed-variance studies)")
     parser.add_argument("-resume", action="store_true",
                         help="continue from the newest epoch.* checkpoint")
     parser.add_argument("-use_gpu", action="store_true",
@@ -67,7 +71,8 @@ def main(argv=None):
     else:
         train_loader = make_batch_loader(opt.read_train_dir, vocab,
                                          opt.batch_size, mode="drop",
-                                         num_buckets=opt.num_buckets)
+                                         num_buckets=opt.num_buckets,
+                                         seed=opt.seed)
     info("reading dev data...")
     dev_loader = make_batch_loader(opt.read_dev_dir, vocab, opt.batch_size,
                                    mode="all")
@@ -85,6 +90,7 @@ def main(argv=None):
         soft_coefficient=opt.optim_soft_coefficient,
         save_interval=opt.save_interval,
         smoothing=opt.label_smoothing,
+        seed=opt.seed,
         resume=opt.resume,
         metrics_path=os.path.join(opt.save_model_dir, "metrics.jsonl"),
         specaugment=opt.specaugment,

@@ -18,6 +18,7 @@ BATCH=${BATCH:-100}
 BEAM=${BEAM:-25}
 NBEST=${NBEST:-10}
 DEC_BATCH=${DEC_BATCH:-8}
+SEED=${SEED:-0}   # init + train seed (seed-variance studies)
 PY="python3 -u -m"
 
 mkdir -p "$WORK"
@@ -42,14 +43,16 @@ $PY pytorch_kaldi_asr_tpu.recipes.initialize_model \
     -en_layers 3 -de_layers 3 -n_head 2 \
     -en_d_model 256 -de_d_model 128 -d_k 64 -d_v 64 \
     -en_dropout 0.35 -de_dropout 0.35 \
+    -seed "$SEED" \
     -save_model_file model.init
 
-echo "[stage 4] train ($EPOCHS epochs, batch $BATCH)"
+echo "[stage 4] train ($EPOCHS epochs, batch $BATCH, seed $SEED)"
 $PY pytorch_kaldi_asr_tpu.recipes.train \
     -read_train_dir "$DATA/train" -read_dev_dir "$DATA/dev" \
     -read_test_dir "$DATA/test" -read_vocab_file vocab.txt \
     -load_model_file model.init -save_model_dir . \
     -seq_error_prob 0 -optim_start_lr 0.001 -optim_soft_coefficient 25000 \
+    -seed "$SEED" \
     -epoch "$EPOCHS" -batch_size "$BATCH" -save_interval 1 > train.log 2>&1
 tail -3 train.log
 

@@ -105,6 +105,27 @@ def test_pp_grads_match_single_device():
                                    atol=2e-5, rtol=2e-4)
 
 
+def test_pp_utt_valid_matches_single_device():
+    """utt_valid (loader 'all'-mode duplicated-tail exclusion) must drop
+    the same rows as models/am.py frame_ce_loss (round-4 ADVICE)."""
+    am = init_am(jax.random.PRNGKey(5), CFG, 10)
+    src, mask = _data(seed=5)
+    tgt = np.random.default_rng(5).integers(0, 10, size=mask.shape)
+    tgt = tgt.astype(np.int32)
+    utt_valid = np.ones(mask.shape[0], np.uint8)
+    utt_valid[-2:] = 0  # loader-duplicated tail rows
+    mesh = make_pipe_mesh(pipe=4)
+    ref = frame_ce_loss(am, CFG, src, mask, tgt, utt_valid=utt_valid)
+    out = pp_frame_ce_loss(am, CFG, src, mask, tgt, mesh,
+                           utt_valid=utt_valid)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-5)
+    # and the excluded rows genuinely change the totals
+    full = pp_frame_ce_loss(am, CFG, src, mask, tgt, mesh)
+    assert float(full[2]) > float(out[2])
+
+
 def test_pp_train_dropout_finite_and_stage_independent():
     am = init_am(jax.random.PRNGKey(4), CFG, 10)
     src, mask = _data(seed=4)
