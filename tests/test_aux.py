@@ -375,3 +375,23 @@ def test_trace_source_attribution(tmp_path):
     assert cats["convolution fusion"][0] == 60.0
     md = format_source_md(s)
     assert "GB moved" in md and "m.py:9" in md
+
+
+def test_record_foreign_goldens_self_test(tmp_path):
+    """The foreign-bytes guard harness (tools/record_foreign_goldens):
+    record+check must round-trip with the self producer, so the day a
+    real Kaldi/kaldi-io install is reachable the check is one command
+    (docs/PARITY.md known-gaps; reference BatchLoader.py:47)."""
+    from pytorch_kaldi_asr_tpu.tools import record_foreign_goldens as rfg
+
+    manifest = rfg.record(str(tmp_path), self_test=True)
+    assert [p["kind"] for p in manifest["producers"]] == ["self"]
+    assert len(manifest["arks"]) == 2  # FM + CM2
+    assert rfg.check(str(tmp_path)) == 2
+    # corrupting a recorded byte must fail the pin
+    ark = tmp_path / "selftest_fm.ark"
+    data = bytearray(ark.read_bytes())
+    data[len(data) // 2] ^= 0xFF
+    ark.write_bytes(bytes(data))
+    with pytest.raises(AssertionError):
+        rfg.check(str(tmp_path))
