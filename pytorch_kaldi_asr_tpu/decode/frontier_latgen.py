@@ -41,7 +41,13 @@ one documented difference: the ``max_active`` cap applies to the stored
 frontier AFTER closure as well (the host keeps every within-beam state
 post-closure), i.e. the frontier decoder searches with an effectively
 tighter histogram prune.  With ``max_active`` at least the number of
-live states the outputs match the oracle exactly (tests).
+live states the outputs match the oracle exactly (tests); when closure
+fan-out exceeds the frontier width the outputs genuinely diverge — the
+frontier returns a well-formed but worse-scoring hypothesis, with no
+overflow flag (tests/test_frontier_latgen.py::
+test_post_closure_cap_divergence_from_host pins a binding case), so
+production configs with tight ``max_active`` on epsilon-heavy graphs
+should either raise ``frontier_width`` or route through the host path.
 
 Scores are float32 on-device (the host oracle is float64), like the
 dense decoder.

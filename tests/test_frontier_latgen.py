@@ -268,3 +268,46 @@ def test_large_synthetic_graph_matches_native():
     res = frontier_latgen(g, posts.astype(np.float32)[None],
                           beam=8.0, max_active=512)
     _assert_matches(res[0], ref, tol=2e-2)
+
+
+def test_post_closure_cap_divergence_from_host():
+    """Pin the DOCUMENTED semantic difference (frontier_latgen.py:38-44):
+    the frontier width also caps the post-closure state set, where the
+    host keeps every within-beam state.  On an epsilon-heavy graph whose
+    closure fan-out exceeds the frontier width K = max(2*max_active, 64),
+    the tighter prune must CHANGE the output (no silent agreement, no
+    overflow/fallback masking it) — and widening max_active past the
+    live-state count must restore exact agreement."""
+    M = 100  # closure fan-out; > default K floor of 64 at max_active 16
+    g = Fst()
+    s0 = g.add_state()
+    g.start = s0
+    hub = g.add_state()
+    g.add_arc(s0, 1, 0, 0.0, hub)  # frame-1 emit: phone 'a'
+    fin = g.add_state()
+    g.set_final(fin, 0.0)
+    for i in range(1, M + 1):
+        si = g.add_state()
+        # closure rank: eps weight grows with i, so branch M sorts LAST
+        g.add_arc(hub, EPS, 0, 0.01 * i, si)
+        # ...but branch M's frame-2 emit is 5.0 cheaper: the true best
+        # path runs through the worst-ranked closure state
+        w2 = 0.0 if i == M else 5.0
+        g.add_arc(si, 2, i, w2, fin)  # frame-2 emit: phone 'b', word i
+    posts = np.log(np.array([[0.9, 0.1], [0.1, 0.9]]))  # a then b
+
+    host = _oracle(g, posts, beam=1e5, max_active=16)
+    dev = frontier_latgen(g, posts.astype(np.float32),
+                          beam=1e5, max_active=16)
+    assert host is not None and dev is not None
+    assert host[0] == [M]  # host keeps all M+1 closure states: best path
+    # the frontier capped closure at K=64 and LOST branch M: different
+    # words, strictly worse cost — the documented tighter search
+    assert dev[0] != host[0]
+    assert dev[0] == [1]  # best branch that survives the top-64 cut
+    assert dev[2] > host[2] + 3.0
+    # sanity: the divergence is the cap, nothing else — uncapped widths
+    # agree exactly
+    wide = frontier_latgen(g, posts.astype(np.float32),
+                           beam=1e5, max_active=2000)
+    _assert_matches(wide, host)
