@@ -102,3 +102,31 @@ def test_gang_restart_reforms_distributed_world(tmp_path):
         out = (tmp_path / f"train.{i + 1}.log").read_text()
         assert f"MULTIHOST_TRAIN_OK {i}/{n}" in out, out
     assert (tmp_path / "ckpt" / "params.msgpack").exists()
+
+
+@pytest.mark.slow
+def test_gang_pipeline_across_processes(tmp_path):
+    """Round-4 VERDICT item 7: PP's ppermute relay must cross a PROCESS
+    boundary, not just a single-process virtual mesh.  The --gang
+    launcher drives two workers that form one jax.distributed world and
+    build a ('data', 'pipe') mesh TRANSPOSED so consecutive pipe stages
+    live in different processes; forward and grads are pinned to the
+    local single-device oracle on both ranks."""
+    port = _free_port()
+    n = 2
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    log = tmp_path / "pp.JOB.log"
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytorch_kaldi_asr_tpu.parallel.launch",
+         "--gang", f"JOB=1:{n}", str(log),
+         sys.executable, os.path.join(HERE, "multihost_pp_worker.py"),
+         "JOB", str(n), str(port)],
+        capture_output=True, text=True, env=env, timeout=600,
+        cwd=os.path.dirname(HERE),
+    )
+    assert proc.returncode == 0, proc.stderr + proc.stdout
+    for i in range(n):
+        out = (tmp_path / f"pp.{i + 1}.log").read_text()
+        assert f"MULTIHOST_PP_OK {i}/{n}" in out, out
+        assert "stages_cross_process" in out
