@@ -88,9 +88,10 @@ def host_only_record():
     except Exception as e:
         record["hybrid_error"] = repr(e)[:200]
     try:
-        _, _, host_rate, _ = measure_pipeline_e2e(steps=10, warmup=1,
-                                                  host_only=True)
+        _, _, host_rate, _, extras = measure_pipeline_e2e(
+            steps=10, warmup=1, host_only=True)
         record["host_pipeline_frames_per_sec"] = round(host_rate, 1)
+        record.update(extras)
     except Exception as e:
         record["host_pipeline_error"] = repr(e)[:200]
     return record
@@ -289,18 +290,35 @@ def measure_pipeline_e2e(steps=30, warmup=3, host_only=False):
         # This is the part the pipeline design controls; the device leg is
         # bounded by host->device bandwidth (PCIe on a real TPU host; the
         # axon tunnel here moves ~5 MB/s, measured below and reported).
-        host_frames = 0
-        hit = iter(loader)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            b = next(hit, None)
-            if b is None:
-                hit = iter(loader)
-                b = next(hit)
-            host_frames += b.src.shape[0] * b.src.shape[1]
-        host_rate = host_frames / max(time.perf_counter() - t0, 1e-9)
+        # Swept over loader worker counts (data/loader.py num_workers:
+        # threaded assembly, GIL released in the ark/pad hot parts) — on
+        # this 1-core box the curve is flat by construction; on a real
+        # multi-core feeder host it is the scaling knob that closes the
+        # host-vs-chip gap (round-4 VERDICT item 2).
+        def _host_rate():
+            host_frames = 0
+            hit = iter(loader)
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                b = next(hit, None)
+                if b is None:
+                    hit = iter(loader)
+                    b = next(hit)
+                host_frames += b.src.shape[0] * b.src.shape[1]
+            return host_frames / max(time.perf_counter() - t0, 1e-9)
+
+        host_scaling = {}
+        for w in (1, 2, 4):
+            loader.num_workers = w
+            host_scaling[str(w)] = round(_host_rate(), 1)
+        loader.num_workers = 1
+        best_w = max(host_scaling, key=host_scaling.get)
+        host_rate = host_scaling[best_w]
+        host_extras = {"host_pipeline_scaling": host_scaling,
+                       "host_pipeline_best_workers": int(best_w),
+                       "host_cores": os.cpu_count()}
         if host_only:
-            return None, None, host_rate, None
+            return None, None, host_rate, None, host_extras
 
         cfg = TransformerConfig(src_dim=SRC_DIM, vocab_size=len(vocab),
                                 compute_dtype=jnp.bfloat16)
@@ -338,7 +356,7 @@ def measure_pipeline_e2e(steps=30, warmup=3, host_only=False):
             valid += int(np.asarray(b.src_mask).sum())
         float(m["loss"])  # sync the dependent chain
         dt = max(time.perf_counter() - t0, 1e-9)
-        return valid / dt, padded / dt, host_rate, xfer_mbps
+        return valid / dt, padded / dt, host_rate, xfer_mbps, host_extras
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -627,8 +645,10 @@ def main():
         # roofline numbers ride along in the same JSON line
         try:
             state["stage"] = "e2e"
-            e2e_valid, e2e_padded, host_rate, xfer = measure_pipeline_e2e()
+            e2e_valid, e2e_padded, host_rate, xfer, host_extras = \
+                measure_pipeline_e2e()
             upd(
+                host_extras,
                 e2e_valid_frames_per_sec=round(e2e_valid, 1),
                 e2e_padded_frames_per_sec=round(e2e_padded, 1),
                 pipeline_efficiency=round(e2e_padded / value, 3),

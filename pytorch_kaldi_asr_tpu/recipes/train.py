@@ -31,6 +31,11 @@ def main(argv=None):
     parser.add_argument("-num_buckets", type=int, default=1,
                         help="length buckets (>1 reduces padding waste at "
                              "the cost of one compiled shape per bucket)")
+    parser.add_argument("-loader_workers", type=int, default=1,
+                        help="host batch-assembly threads (ordered "
+                             "handoff; the ark parse and numpy padding "
+                             "release the GIL, so >1 scales the feeder "
+                             "on multi-core hosts)")
     parser.add_argument("-train_archive_dir", default=None,
                         help="stream the training set from pre-packed "
                              ".npz batch archives (recipes/generate_archive) "
@@ -72,7 +77,8 @@ def main(argv=None):
         train_loader = make_batch_loader(opt.read_train_dir, vocab,
                                          opt.batch_size, mode="drop",
                                          num_buckets=opt.num_buckets,
-                                         seed=opt.seed)
+                                         seed=opt.seed,
+                                         num_workers=opt.loader_workers)
     info("reading dev data...")
     dev_loader = make_batch_loader(opt.read_dev_dir, vocab, opt.batch_size,
                                    mode="all")

@@ -111,3 +111,52 @@ def test_bucketed_loader_reduces_padding():
     flat_cells = sum(b.src.shape[1] for b in flat)
     buck_cells = sum(b.src.shape[1] for b in bucketed)
     assert buck_cells < flat_cells * 0.7
+
+
+def _batches_equal(a, b):
+    assert a.keys == b.keys
+    np.testing.assert_array_equal(a.src, b.src)
+    np.testing.assert_array_equal(a.src_mask, b.src_mask)
+    np.testing.assert_array_equal(a.tgt, b.tgt)
+    np.testing.assert_array_equal(a.tgt_mask, b.tgt_mask)
+    np.testing.assert_array_equal(a.valid, b.valid)
+
+
+@pytest.mark.parametrize("mode", ["drop", "all"])
+def test_parallel_workers_identical_content_and_order(mode):
+    """num_workers > 1 must change ONLY wall-clock: content and order are
+    pinned equal to the single-worker path, both epochs."""
+    solo = BatchLoader(_make_triples(23), batch_size=4, mode=mode,
+                       seed=9, num_buckets=2)
+    par = BatchLoader(_make_triples(23), batch_size=4, mode=mode,
+                      seed=9, num_buckets=2, num_workers=4)
+    for _ in range(2):  # two epochs: fresh permutation each
+        for a, b in zip(list(solo), list(par), strict=True):
+            _batches_equal(a, b)
+
+
+def test_parallel_workers_lazy_ark_reads(tmp_path):
+    """The lazy (pre_load=False) path parses arks INSIDE the worker
+    threads — each read opens its own handle, so results stay identical."""
+    rng = np.random.default_rng(3)
+    ark, scp = tmp_path / "f.ark", tmp_path / "f.scp"
+    with kaldi_io.open_writer(f"ark,scp:{ark},{scp}") as w:
+        for i in range(12):
+            w.write(f"u{i:02d}",
+                    rng.normal(size=(3 + i, 4)).astype(np.float32))
+    refs = dict(kaldi_io.scp_entries(str(scp)))
+    triples = [(k, refs[k], np.array([2, 5, 3])) for k in sorted(refs)]
+    solo = BatchLoader(triples, batch_size=4, mode="all", seed=1,
+                       pre_load=False)
+    par = BatchLoader(triples, batch_size=4, mode="all", seed=1,
+                      pre_load=False, num_workers=3)
+    for a, b in zip(list(solo), list(par), strict=True):
+        _batches_equal(a, b)
+
+
+def test_parallel_workers_early_consumer_exit():
+    """Abandoning the iterator mid-epoch must not wedge the pool."""
+    par = BatchLoader(_make_triples(40), batch_size=4, num_workers=4)
+    it = iter(par)
+    next(it)
+    it.close()  # GeneratorExit path shuts the executor down cleanly
