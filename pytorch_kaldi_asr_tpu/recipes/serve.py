@@ -94,7 +94,7 @@ class Recognizer:
     def __init__(self, model_file, vocab_file, *, beam_size=8,
                  max_token_seq_len=None, buckets=DEFAULT_BUCKETS,
                  use_cache=True, quantize_weights=False,
-                 nlm_model_dir=None, lm_weight=0.3):
+                 nlm_model_dir=None, lm_weight=0.3, partial_beam=None):
         from pytorch_kaldi_asr_tpu.data import instances
         from pytorch_kaldi_asr_tpu.decode.runner import _pick_search
         from pytorch_kaldi_asr_tpu.train.checkpoint import load_checkpoint
@@ -106,6 +106,10 @@ class Recognizer:
         self.word2idx = instances.read_vocab(vocab_file)
         self.idx2word = {i: w for w, i in self.word2idx.items()}
         self.beam_size = beam_size
+        # partials need STABILITY, not n-best quality: a narrower beam
+        # for partial-only decodes attacks the beam-bound partial-latency
+        # floor (docs/SERVING.md round-4 A/B); finals keep beam_size
+        self.partial_beam = partial_beam or beam_size
         self.max_len = max_token_seq_len or self.cfg.decoder_max_len
         self.buckets = _clip_buckets(buckets, self.cfg.encoder_max_len)
         self.search = _pick_search(self.cfg, use_cache)
@@ -751,7 +755,7 @@ class _AttentionStream:
             prefix = np.asarray([self._prev_ids[:p]], np.int32)
             result = fast_beam_search_memory(
                 self.params, self.rec.cfg, enc, mask, prefix,
-                beam_size=self.rec.beam_size, max_len=max_len)
+                beam_size=self.rec.partial_beam, max_len=max_len)
             hyps = nbest_from_result(result, 1)[0]
             if not hyps:
                 self._prev_ids = []
@@ -1335,6 +1339,11 @@ def main(argv=None):
     parser.add_argument("-port", type=int, default=8600)
     parser.add_argument("-host", default="127.0.0.1")
     parser.add_argument("-beam_size", type=int, default=8)
+    parser.add_argument("-partial_beam", type=int, default=0,
+                        help="narrower beam for streaming PARTIAL decodes "
+                             "only (0 = use -beam_size); finals are "
+                             "unaffected — partials need stability, not "
+                             "n-best quality")
     parser.add_argument("-beam", type=float, default=16.0,
                         help="hybrid graph beam")
     parser.add_argument("-max_token_seq_len", type=int, default=None)
@@ -1385,7 +1394,8 @@ def main(argv=None):
                          buckets=buckets,
                          quantize_weights=opt.quantize_weights,
                          nlm_model_dir=opt.nlm_model_dir,
-                         lm_weight=opt.lm_weight)
+                         lm_weight=opt.lm_weight,
+                         partial_beam=opt.partial_beam or None)
     if opt.max_batch > 1:
         rec = MicroBatcher(rec, max_batch=opt.max_batch,
                            window_ms=opt.batch_window_ms)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -390,8 +391,102 @@ def bench_frontier_crossover(beam=16.0, max_active=2000, batch=8,
     return out
 
 
+def bench_serve_contention(n_streams=32, max_active=256, beam=16.0,
+                           contention=(0, 1, 3), repeats=3,
+                           big_words=4000, big_sents=12000):
+    """Multi-stream serving A/B under host load (round-4 VERDICT item 3):
+    the device frontier decoder's claimed niche is N concurrent serve
+    sessions on a host whose cores are contended by the server's OTHER
+    work (feature prep, AM dispatch, HTTP).  Measures, on the ~114k-state
+    graph at the tuned width:
+
+    - host-native leg: N streams decoded by a thread pool over the C++
+      latgen (GIL released — threads timeshare whatever cores the co-load
+      leaves);
+    - device-frontier leg: the same N streams decoded as ONE batch on the
+      chip (host only dispatches);
+
+    each under C background busy PROCESSES (OS-level contention, not GIL
+    games).  Emits aggregate RTF per leg per C and the crossover C (the
+    smallest contention at which the frontier wins), i.e. the dispatch
+    recommendation for recipes/serve.py hybrid mode."""
+    import subprocess
+    import sys as _sys
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pytorch_kaldi_asr_tpu.decode.frontier_latgen import FrontierLatgen
+    from pytorch_kaldi_asr_tpu.decode.latgen import latgen
+
+    graph, log_posts = hybrid_bench_setup(
+        n_words=big_words, n_phones=40, n_sents=big_sents, seed=0)
+    posts, lens = _batched_posts(log_posts, n_streams)
+    audio_s = n_streams * log_posts.shape[0] * 0.01
+
+    dec = FrontierLatgen(graph, beam=beam, max_active=max_active)
+    res = dec.decode_batch(posts, lens)  # warm compile + caches
+    if not all(r is not None for r in res):
+        raise RuntimeError("serve-contention bench beam died")
+    pool = ThreadPoolExecutor(max_workers=min(n_streams, 8))
+
+    def native_all():
+        def one(b):
+            return latgen(graph, posts[b, :lens[b]].astype(np.float64),
+                          beam=beam, max_active=max_active)
+        return list(pool.map(one, range(n_streams)))
+
+    ref = native_all()  # warm page caches; agreement baseline
+    agree = sum(1 for d, r in zip(res, ref)
+                if d is not None and r is not None and d[0] == r[0])
+
+    def timed(fn):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    rows = []
+    crossover = None
+    for c in contention:
+        burners = [
+            subprocess.Popen(
+                [_sys.executable, "-c",
+                 "while True:\n    sum(i*i for i in range(10000))"])
+            for _ in range(c)
+        ]
+        try:
+            tn = timed(native_all)
+            tf = timed(lambda: dec.decode_batch(posts, lens))
+        finally:
+            for p in burners:
+                p.kill()
+            for p in burners:
+                p.wait()
+        row = {"contention": c,
+               "native_rtf": round(tn / audio_s, 6),
+               "frontier_rtf": round(tf / audio_s, 6),
+               "frontier_vs_native": round(tn / max(tf, 1e-9), 2)}
+        rows.append(row)
+        if crossover is None and tf < tn:
+            crossover = c
+    return {
+        "metric": "serve_contention_frontier_vs_native",
+        "value": rows[-1]["frontier_vs_native"],
+        "unit": "x (native_time/frontier_time at max contention)",
+        "n_streams": n_streams,
+        "max_active": max_active,
+        "graph_states": graph.num_states,
+        "agreement": round(agree / n_streams, 3),
+        "rows": rows,
+        "crossover_contention": crossover,
+        "host_cores": os.cpu_count(),
+    }
+
+
 def bench_partials(total_frames=1500, chunk=40, feat_dim=40, beam=8,
-                   partial_every=4, max_len=60, seed=0, **cfg_overrides):
+                   partial_every=4, max_len=60, seed=0, partial_beam=None,
+                   **cfg_overrides):
     """Incremental attention-mode partials vs full re-decode (VERDICT r3 #7).
 
     One growing streaming session: every ``partial_every`` pushes, time
@@ -429,7 +524,7 @@ def bench_partials(total_frames=1500, chunk=40, feat_dim=40, beam=8,
     q = max(chunk * partial_every, 100)
     buckets = tuple(q * i for i in range(1, -(-total_frames // q) + 1))
     rec = Recognizer(ckpt, vocab, beam_size=beam, max_token_seq_len=max_len,
-                     buckets=buckets)
+                     buckets=buckets, partial_beam=partial_beam)
 
     rng = np.random.default_rng(seed)
     feats = rng.normal(size=(total_frames, feat_dim)).astype(np.float32)
@@ -462,6 +557,7 @@ def bench_partials(total_frames=1500, chunk=40, feat_dim=40, beam=8,
         "value": round(last[2] / max(last[1], 1e-9), 2),
         "unit": "x faster at end-of-session",
         "session_sec": round(total_frames * 0.01, 1),
+        "partial_beam": partial_beam or beam,
         "partials_timed": len(rows),
         "first_ms": {"frames": first[0], "incremental": round(first[1] * 1e3, 1),
                      "redecode": round(first[2] * 1e3, 1)},
@@ -480,8 +576,14 @@ def main(argv=None):
     parser.add_argument("--which",
                         choices=["posterior", "decode", "streaming",
                                  "hybrid", "hybrid_device", "frontier",
-                                 "partials", "all"],
+                                 "partials", "serve_contention", "all"],
                         default="all")
+    parser.add_argument("--session_sec", type=float, default=15.0,
+                        help="partials bench session length (the round-5 "
+                             "crossover sweep runs 15/60/120 s)")
+    parser.add_argument("--partial_beam", type=int, default=0,
+                        help="narrow beam for the partial path only "
+                             "(0 = full beam)")
     opt = parser.parse_args(argv)
     if opt.which in ("posterior", "all"):
         print(json.dumps(bench_offline_posteriors()))
@@ -496,7 +598,11 @@ def main(argv=None):
     if opt.which in ("frontier", "all"):
         print(json.dumps(bench_frontier_crossover()))
     if opt.which in ("partials", "all"):
-        print(json.dumps(bench_partials()))
+        print(json.dumps(bench_partials(
+            total_frames=int(opt.session_sec * 100),
+            partial_beam=opt.partial_beam or None)))
+    if opt.which == "serve_contention":  # not in "all": ~114k-state build
+        print(json.dumps(bench_serve_contention()))
     return 0
 
 

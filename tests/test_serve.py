@@ -713,3 +713,26 @@ def test_attention_stream_none_for_noncausal(model_dir):
     rec.cfg, rec.params = cfg2, params  # simulate a non-causal model
     rec._stream_params = None
     assert rec.new_attention_stream() is None
+
+
+def test_attention_stream_partial_beam(banded_model_dir):
+    """partial_beam narrows ONLY the partial decodes; finals keep
+    beam_size (reference decode.py contract untouched)."""
+    tmp, cfg = banded_model_dir
+    rec = serve_mod.Recognizer(str(tmp / "model"), str(tmp / "vocab.txt"),
+                               beam_size=3, partial_beam=1, buckets=(16,))
+    assert rec.partial_beam == 1 and rec.beam_size == 3
+    astream = rec.new_attention_stream(stream_chunk=4)
+    rng = np.random.default_rng(7)
+    audio = rng.normal(size=(12, cfg.src_dim)).astype(np.float32)
+    chunks = []
+    for i in range(3):
+        chunks.append(audio[4 * i:4 * (i + 1)])
+        p = astream.sync(chunks)
+    assert isinstance(p, str)
+    # greedy (beam 1) partial over the identical masked memory = the
+    # beam-1 offline result; the final/offline path still uses beam 3
+    rec1 = serve_mod.Recognizer(str(tmp / "model"), str(tmp / "vocab.txt"),
+                                beam_size=1, buckets=(16,))
+    hyps1, _ = rec1.recognize(audio, nbest=1)
+    assert p == hyps1[0][0]
