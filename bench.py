@@ -105,7 +105,7 @@ SRC_DIM = 40
 VOCAB = 52
 
 
-def _flagship_setup(encoder_type=None, stream_bf16=None):
+def _flagship_setup(encoder_type=None, stream_bf16=None, extra_cfg=None):
     import jax
 
     from pytorch_kaldi_asr_tpu.models import TransformerConfig, init_transformer
@@ -118,6 +118,8 @@ def _flagship_setup(encoder_type=None, stream_bf16=None):
     extra = dict(CFG_OVERRIDES)  # test hook: shrink the MODEL, not just
     if stream_bf16:              # the batch (compile time dominates on CPU)
         extra["conformer_stream_dtype"] = jnp.bfloat16
+    if extra_cfg:
+        extra.update(extra_cfg)
     cfg = TransformerConfig(
         src_dim=SRC_DIM, vocab_size=VOCAB, compute_dtype=jnp.bfloat16,
         encoder_type=encoder_type, **extra,
@@ -135,7 +137,8 @@ def _flagship_setup(encoder_type=None, stream_bf16=None):
     return cfg, params, (src, src_mask, tgt, tgt_mask)
 
 
-def measure_jax(steps=30, warmup=3, encoder_type=None, stream_bf16=None):
+def measure_jax(steps=30, warmup=3, encoder_type=None, stream_bf16=None,
+                extra_cfg=None):
     # NOTE on methodology: the axon TPU backend is a network tunnel where
     # block_until_ready does not actually block; synchronization must be a
     # host transfer.  Steps are data-dependent (the train state threads
@@ -147,7 +150,7 @@ def measure_jax(steps=30, warmup=3, encoder_type=None, stream_bf16=None):
     from pytorch_kaldi_asr_tpu.train import create_train_state, make_train_step
 
     cfg, params, (src, src_mask, tgt, tgt_mask) = _flagship_setup(
-        encoder_type, stream_bf16)
+        encoder_type, stream_bf16, extra_cfg)
     state, tx = create_train_state(params)
     train_step = make_train_step(cfg, tx)
     src, src_mask, tgt, tgt_mask = jax.device_put(
@@ -425,7 +428,8 @@ _PEAKS = {
 }
 
 
-def measure_mfu(encoder_type=None, fps=None, stream_bf16=None):
+def measure_mfu(encoder_type=None, fps=None, stream_bf16=None,
+                extra_cfg=None):
     """Model-FLOPs utilization + HBM-bandwidth utilization of the jitted
     train step, from the compiled executable's cost analysis and the
     measured step time (the roofline numbers BASELINE.md's
@@ -438,7 +442,7 @@ def measure_mfu(encoder_type=None, fps=None, stream_bf16=None):
     from pytorch_kaldi_asr_tpu.train import create_train_state, make_train_step
 
     cfg, params, (src, src_mask, tgt, tgt_mask) = _flagship_setup(
-        encoder_type, stream_bf16)
+        encoder_type, stream_bf16, extra_cfg)
     state, tx = create_train_state(params)
     step = make_train_step(cfg, tx)
     src, src_mask, tgt, tgt_mask = jax.device_put((src, src_mask, tgt,
@@ -733,7 +737,28 @@ def main():
             return {"hybrid_device_rtf": r["value"],
                     "hybrid_device_frames_per_sec": r["frames_per_sec"]}
 
+        def _conformer_wide():
+            # the TRACE_r4 analysis claims d=256 is MXU-starved and the
+            # lever is WIDTH: one d=512 datapoint proves/refutes it
+            # (round-4 VERDICT item 5) — MFU should climb with d_model
+            wide = {"en_d_model": 512, "n_head": 4}
+            fps = measure_jax(steps=8, encoder_type="conformer",
+                              stream_bf16=True, extra_cfg=wide)
+            out = {"conformer_d512_frames_per_sec": round(fps, 1)}
+            roof = measure_mfu(encoder_type="conformer", fps=fps,
+                               stream_bf16=True, extra_cfg=wide)
+            if roof:
+                out.update({
+                    "conformer_d512_mfu": roof.get("mfu"),
+                    "conformer_d512_mfu_analytic":
+                        roof.get("mfu_analytic"),
+                    "conformer_d512_step_time_ms":
+                        roof.get("step_time_ms"),
+                })
+            return out
+
         _sub("conformer", _conformer)
+        _sub("conformer_wide", _conformer_wide)
         _sub("decode_int8", measure_decode_and_int8)
         def _frontier():
             from pytorch_kaldi_asr_tpu.tools.bench_rtf import (
