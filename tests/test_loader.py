@@ -160,3 +160,23 @@ def test_parallel_workers_early_consumer_exit():
     it = iter(par)
     next(it)
     it.close()  # GeneratorExit path shuts the executor down cleanly
+
+
+def test_parallel_workers_propagate_errors(tmp_path):
+    """A worker failing to parse its ark must surface the exception to
+    the consumer (ordered .result() re-raises), not hang or drop data."""
+    ark, scp = tmp_path / "f.ark", tmp_path / "f.scp"
+    with kaldi_io.open_writer(f"ark,scp:{ark},{scp}") as w:
+        w.write("good", np.zeros((4, 3), np.float32))
+        w.write("bad", np.ones((6, 3), np.float32))
+    refs = dict(kaldi_io.scp_entries(str(scp)))
+    triples = [("good", refs["good"], np.array([2, 3])),
+               ("bad", refs["bad"], np.array([2, 3]))]
+    # truncate the SECOND matrix's body: header (what init reads for
+    # lengths) stays intact, the worker's full read fails
+    data = ark.read_bytes()
+    ark.write_bytes(data[:-20])
+    par = BatchLoader(triples, batch_size=1, mode="all", shuffle=False,
+                      pre_load=False, num_workers=2)
+    with pytest.raises(Exception):
+        list(par)
