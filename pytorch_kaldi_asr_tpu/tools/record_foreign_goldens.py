@@ -158,8 +158,11 @@ def record(out_dir, self_test=False):
     if self_test:
         # this package's own writer stands in for the foreign producer so
         # the record/check harness itself stays covered in this repo's CI
+        # (all four wire formats the check knows how to bound)
         for name, compress in [("selftest_fm.ark", False),
-                               ("selftest_cm.ark", True)]:
+                               ("selftest_cm.ark", True),
+                               ("selftest_cm1.ark", "CM"),
+                               ("selftest_cm3.ark", "CM3")]:
             ark = os.path.join(out_dir, name)
             scp = ark[:-4] + ".scp"
             with kaldi_io.open_writer(f"ark,scp:{ark},{scp}",

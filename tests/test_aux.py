@@ -386,8 +386,8 @@ def test_record_foreign_goldens_self_test(tmp_path):
 
     manifest = rfg.record(str(tmp_path), self_test=True)
     assert [p["kind"] for p in manifest["producers"]] == ["self"]
-    assert len(manifest["arks"]) == 2  # FM + CM2
-    assert rfg.check(str(tmp_path)) == 2
+    assert len(manifest["arks"]) == 4  # FM + CM2 + CM1 + CM3
+    assert rfg.check(str(tmp_path)) == 4
     # corrupting a recorded byte must fail the pin
     ark = tmp_path / "selftest_fm.ark"
     data = bytearray(ark.read_bytes())
