@@ -226,3 +226,13 @@ def xavier_normal(rng, shape, fan_in, fan_out, dtype=jnp.float32):
     ``init.xavier_normal_`` when given the same fans)."""
     std = float(np.sqrt(2.0 / (fan_in + fan_out)))
     return std * jax.random.normal(rng, shape, dtype=dtype)
+
+
+def torch_default_uniform(rng, shape, fan_in, dtype=jnp.float32):
+    """torch's nn.Linear/nn.Conv1d DEFAULT weight/bias init: kaiming-uniform
+    with a=sqrt(5), which reduces to U(-1/sqrt(fan_in), 1/sqrt(fan_in)) —
+    the distribution the reference's FFN convs (SubLayers.py:75-76, no
+    explicit re-init) and every Linear/Conv bias train from."""
+    bound = float(1.0 / np.sqrt(fan_in))
+    return jax.random.uniform(
+        rng, shape, dtype=dtype, minval=-bound, maxval=bound)

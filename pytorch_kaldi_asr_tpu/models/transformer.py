@@ -45,6 +45,7 @@ from pytorch_kaldi_asr_tpu.models.common import (
     masked_softmax,
     padding_attn_mask,
     position_encoding_table,
+    torch_default_uniform,
     xavier_normal,
 )
 
@@ -129,24 +130,45 @@ class _Rngs:
 # ---------------------------------------------------------------------------
 
 
-def _init_mha(rng, d_model, n_head, d_k, d_v):
-    ks = jax.random.split(rng, 4)
+def _init_mha(rng, d_model, n_head, d_k, d_v, init_compat="native"):
+    ks = jax.random.split(rng, 5)
     # Per-head projection tensors, like the reference's w_qs/w_ks/w_vs
     # (SubLayers.py:23-25); fans follow torch xavier on [H, D, K].
+    if init_compat == "torch":
+        # nn.Linear's default bias U(+-1/sqrt(fan_in)) — the reference
+        # re-inits only the proj WEIGHT (Modules.py:13)
+        proj_b = torch_default_uniform(ks[4], (d_model,), n_head * d_v)
+    else:
+        proj_b = jnp.zeros((d_model,))
     return {
         "w_qs": xavier_normal(ks[0], (n_head, d_model, d_k), d_model * d_k, n_head * d_k),
         "w_ks": xavier_normal(ks[1], (n_head, d_model, d_k), d_model * d_k, n_head * d_k),
         "w_vs": xavier_normal(ks[2], (n_head, d_model, d_v), d_model * d_v, n_head * d_v),
         "proj": {
             "w": xavier_normal(ks[3], (n_head * d_v, d_model), n_head * d_v, d_model),
-            "b": jnp.zeros((d_model,)),
+            "b": proj_b,
         },
         "ln": {"gamma": jnp.ones((d_model,)), "beta": jnp.zeros((d_model,))},
     }
 
 
-def _init_ffn(rng, d_model, d_inner):
-    k1, k2 = jax.random.split(rng)
+def _init_ffn(rng, d_model, d_inner, init_compat="native"):
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    if init_compat == "torch":
+        # The reference's FFN is two nn.Conv1d's with NO explicit re-init
+        # (SubLayers.py:75-76): torch-default kaiming-uniform(a=sqrt(5))
+        # weights + uniform biases — std ~1.7x SMALLER than xavier here.
+        return {
+            "w1": {
+                "w": torch_default_uniform(k1, (d_model, d_inner), d_model),
+                "b": torch_default_uniform(k3, (d_inner,), d_model),
+            },
+            "w2": {
+                "w": torch_default_uniform(k2, (d_inner, d_model), d_inner),
+                "b": torch_default_uniform(k4, (d_model,), d_inner),
+            },
+            "ln": {"gamma": jnp.ones((d_model,)), "beta": jnp.zeros((d_model,))},
+        }
     return {
         "w1": {
             "w": xavier_normal(k1, (d_model, d_inner), d_model, d_inner),
@@ -160,20 +182,27 @@ def _init_ffn(rng, d_model, d_inner):
     }
 
 
-def init_transformer(rng, cfg: TransformerConfig, lda_mat=None):
+def init_transformer(rng, cfg: TransformerConfig, lda_mat=None,
+                     init_compat="native"):
     """Build the parameter pytree.
 
     ``lda_mat`` is the Kaldi LDA/MLLT affine as stored in ``lda.mat``
     (last column = bias; reference TDNN.py:51-52, initialize_model.py:69).
     If None, an identity frontend of matching width is used (useful for
-    synthetic runs without a Kaldi LDA estimation)."""
+    synthetic runs without a Kaldi LDA estimation).
+
+    ``init_compat='torch'`` reproduces the reference's EXACT init
+    distributions where they differ from ours (decoder FFN convs keep
+    torch's kaiming-uniform default + every Linear/Conv bias is
+    torch-default uniform instead of zero) — a causal lever for
+    plateau-escape-timing studies (docs/PARITY_RUN.md seed variance)."""
     if cfg.encoder_type != "tdnn":
         from pytorch_kaldi_asr_tpu.models.encoders import ENCODER_INITS
 
         enc_rng, dec_rng = jax.random.split(rng)
         return {
             "encoder": ENCODER_INITS[cfg.encoder_type](enc_rng, cfg),
-            "decoder": _init_decoder(dec_rng, cfg),
+            "decoder": _init_decoder(dec_rng, cfg, init_compat),
         }
 
     spliced_dim = cfg.src_dim * cfg.src_fold * len(cfg.lda_context)
@@ -200,17 +229,26 @@ def init_transformer(rng, cfg: TransformerConfig, lda_mat=None):
     }
     d = cfg.en_d_model
     for ctx in cfg.tdnn_contexts:
+        k_w = next(keys)
+        if init_compat == "torch":
+            # TDNNLayer.proj bias keeps nn.Linear's default (TDNN.py:36-37
+            # re-inits the weight only)
+            k_w, k_b = jax.random.split(k_w)
+            b = torch_default_uniform(k_b, (d,), d * len(ctx))
+        else:
+            b = jnp.zeros((d,))
         encoder["tdnn"].append(
             {
-                "w": xavier_normal(next(keys), (d * len(ctx), d), d * len(ctx), d),
-                "b": jnp.zeros((d,)),
+                "w": xavier_normal(k_w, (d * len(ctx), d), d * len(ctx), d),
+                "b": b,
             }
         )
 
-    return {"encoder": encoder, "decoder": _init_decoder(dec_rng, cfg)}
+    return {"encoder": encoder,
+            "decoder": _init_decoder(dec_rng, cfg, init_compat)}
 
 
-def _init_decoder(rng, cfg: TransformerConfig):
+def _init_decoder(rng, cfg: TransformerConfig, init_compat="native"):
     """Decoder parameter subtree (shared by every encoder family)."""
     keys = iter(jax.random.split(rng, 3 + cfg.de_layers * 3))
     # nn.Embedding's default init is N(0,1) (what the reference trains from);
@@ -233,10 +271,11 @@ def _init_decoder(rng, cfg: TransformerConfig):
         decoder["layers"].append(
             {
                 "slf": _init_mha(next(keys), cfg.de_d_model, cfg.n_head,
-                                 cfg.d_k, cfg.d_v),
+                                 cfg.d_k, cfg.d_v, init_compat),
                 "enc": _init_mha(next(keys), cfg.de_d_model, cfg.n_head,
-                                 cfg.d_k, cfg.d_v),
-                "ffn": _init_ffn(next(keys), cfg.de_d_model, cfg.de_d_model),
+                                 cfg.d_k, cfg.d_v, init_compat),
+                "ffn": _init_ffn(next(keys), cfg.de_d_model, cfg.de_d_model,
+                                 init_compat),
             }
         )
     return decoder

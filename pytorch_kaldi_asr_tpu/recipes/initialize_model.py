@@ -96,6 +96,11 @@ def main(argv=None):
                              "the fast path (+15%% step throughput, LN "
                              "statistics stay f32)")
     parser.add_argument("-seed", type=int, default=0)
+    parser.add_argument("-init_compat", default="native",
+                        choices=["native", "torch"],
+                        help="'torch' reproduces the reference's exact init "
+                             "distributions (torch-default FFN convs + "
+                             "uniform biases) for training-dynamics studies")
     parser.add_argument("-save_model_file", required=True)
     opt = parser.parse_args(argv)
     opt.tdnn_contexts = None
@@ -107,7 +112,8 @@ def main(argv=None):
         lda_mat = None
     else:
         lda_mat = kaldi_io.read_mat(opt.lda_mat_file)
-    params = init_transformer(jax.random.PRNGKey(opt.seed), cfg, lda_mat)
+    params = init_transformer(jax.random.PRNGKey(opt.seed), cfg, lda_mat,
+                              init_compat=opt.init_compat)
     save_checkpoint(opt.save_model_file, params, cfg, epoch=0)
     info("initialized model is saved to %s.", opt.save_model_file)
     return 0

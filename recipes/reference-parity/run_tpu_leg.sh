@@ -19,6 +19,7 @@ BEAM=${BEAM:-25}
 NBEST=${NBEST:-10}
 DEC_BATCH=${DEC_BATCH:-8}
 SEED=${SEED:-0}   # init + train seed (seed-variance studies)
+INIT_COMPAT=${INIT_COMPAT:-native}  # 'torch' = reference's exact init dists
 PY="python3 -u -m"
 
 mkdir -p "$WORK"
@@ -43,7 +44,7 @@ $PY pytorch_kaldi_asr_tpu.recipes.initialize_model \
     -en_layers 3 -de_layers 3 -n_head 2 \
     -en_d_model 256 -de_d_model 128 -d_k 64 -d_v 64 \
     -en_dropout 0.35 -de_dropout 0.35 \
-    -seed "$SEED" \
+    -seed "$SEED" -init_compat "$INIT_COMPAT" \
     -save_model_file model.init
 
 echo "[stage 4] train ($EPOCHS epochs, batch $BATCH, seed $SEED)"

@@ -149,3 +149,44 @@ def test_fully_masked_attention_row_is_zero_not_nan():
         jnp.asarray(tgt), jnp.asarray(tgt_mask),
     )
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_init_compat_torch_matches_reference_distributions():
+    """init_compat='torch' reproduces the reference's init where it differs
+    from native: FFN convs keep torch's kaiming-uniform(a=sqrt(5)) default
+    (SubLayers.py:75-76 — no explicit re-init) and Linear/Conv biases are
+    U(+-1/sqrt(fan_in)) instead of zero.  Verified against torch itself."""
+    torch = pytest.importorskip("torch")
+    cfg = small_cfg(de_d_model=64, d_k=16, d_v=16, de_layers=1)
+    params = init_transformer(jax.random.PRNGKey(0), cfg, None,
+                              init_compat="torch")
+    ffn = params["decoder"]["layers"][0]["ffn"]
+    mha = params["decoder"]["layers"][0]["slf"]
+    d = cfg.de_d_model
+
+    # torch oracle: Conv1d(d, d, 1) default init, many draws for stable stats
+    w = torch.nn.Conv1d(d, d, 1).weight.detach().numpy()
+    bound = 1.0 / np.sqrt(d)
+    assert np.abs(w).max() <= bound + 1e-6
+
+    for leaf, fan_in in ((ffn["w1"]["w"], d), (ffn["w2"]["w"], d),
+                         (ffn["w1"]["b"], d), (ffn["w2"]["b"], d),
+                         (mha["proj"]["b"], cfg.n_head * cfg.d_v)):
+        arr = np.asarray(leaf)
+        b = 1.0 / np.sqrt(fan_in)
+        assert np.abs(arr).max() <= b, "exceeds torch-default bound"
+        if arr.size >= d * d:  # weights: check it fills the range (uniform)
+            assert np.abs(arr).max() > 0.9 * b
+            assert abs(arr.std() - b / np.sqrt(3)) < 0.05 * b
+
+    # TDNN biases are torch-default too
+    tdnn0 = params["encoder"]["tdnn"][0]
+    fan = cfg.en_d_model * 3
+    assert np.abs(np.asarray(tdnn0["b"])).max() <= 1.0 / np.sqrt(fan)
+    assert np.asarray(tdnn0["b"]).std() > 0
+
+    # native mode is unchanged: zero biases, xavier FFN
+    nat = init_transformer(jax.random.PRNGKey(0), cfg, None)
+    assert np.all(np.asarray(nat["decoder"]["layers"][0]["ffn"]["w1"]["b"]) == 0)
+    nat_std = np.asarray(nat["decoder"]["layers"][0]["ffn"]["w1"]["w"]).std()
+    assert abs(nat_std - np.sqrt(2.0 / (d + d))) < 0.1 * nat_std
