@@ -25,16 +25,24 @@ PY="python3 -u -m"
 mkdir -p "$WORK"
 cd "$WORK"
 
+# RESUME=1: stages are skipped when their artifact exists and train
+# continues from the newest epoch checkpoint — lets a supervisor restart
+# a leg across TPU-tunnel flaps losing at most one epoch.
+RESUME=${RESUME:-0}
+
 echo "[stage 1] vocab"
+[ "$RESUME" = 1 ] && [ -s vocab.txt ] || \
 $PY pytorch_kaldi_asr_tpu.recipes.prepare_vocab \
     -read_instances_file "$DATA/train/text" \
     -save_vocab_file vocab.txt -min_word_count 1
 
 echo "[stage 2] 3-gram LM"
+[ "$RESUME" = 1 ] && [ -s lm.3k.gz ] || \
 $PY pytorch_kaldi_asr_tpu.recipes.train_lm \
     -text "$DATA/train/text" -order 3 -lm lm.3k.gz
 
 echo "[stage 3] initialize_model"
+[ "$RESUME" = 1 ] && [ -s model.init/params.msgpack ] || \
 $PY pytorch_kaldi_asr_tpu.recipes.initialize_model \
     -read_feats_scp_file "$DATA/train/feats.scp" \
     -lda_mat_file "$DATA/lda.mat" \
@@ -48,13 +56,15 @@ $PY pytorch_kaldi_asr_tpu.recipes.initialize_model \
     -save_model_file model.init
 
 echo "[stage 4] train ($EPOCHS epochs, batch $BATCH, seed $SEED)"
+RESUME_FLAG=""
+[ "$RESUME" = 1 ] && RESUME_FLAG="-resume"
 $PY pytorch_kaldi_asr_tpu.recipes.train \
     -read_train_dir "$DATA/train" -read_dev_dir "$DATA/dev" \
     -read_test_dir "$DATA/test" -read_vocab_file vocab.txt \
     -load_model_file model.init -save_model_dir . \
     -seq_error_prob 0 -optim_start_lr 0.001 -optim_soft_coefficient 25000 \
-    -seed "$SEED" \
-    -epoch "$EPOCHS" -batch_size "$BATCH" -save_interval 1 > train.log 2>&1
+    -seed "$SEED" $RESUME_FLAG \
+    -epoch "$EPOCHS" -batch_size "$BATCH" -save_interval 1 >> train.log 2>&1
 tail -3 train.log
 
 # newest combined checkpoint (robust to leftovers from an earlier run
