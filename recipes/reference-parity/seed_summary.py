@@ -80,6 +80,8 @@ def main(argv=None):
                         metavar="name=dir")
     parser.add_argument("--escape-acc", type=float, default=60.0)
     parser.add_argument("--json", default=None)
+    parser.add_argument("--md", default=None,
+                        help="also write a markdown table fragment")
     opt = parser.parse_args(argv)
 
     legs = []
@@ -109,6 +111,19 @@ def main(argv=None):
         with open(opt.json, "w") as f:
             json.dump(report, f, indent=1)
         print(f"[seed_summary] wrote {opt.json}")
+    if opt.md:
+        with open(opt.md, "w") as f:
+            f.write("| leg | escape epoch | best dev acc | dev WER | "
+                    "test WER |\n|---|---|---|---|---|\n")
+            for name, s in legs:
+                f.write(
+                    f"| {name} ({os.path.basename(s['work'])}) "
+                    f"| {s['escape_epoch']} "
+                    f"| {s['best_dev_acc']}% "
+                    f"| {s['dev_wer'] if s['dev_wer'] is not None else '-'}% "
+                    f"| {s['test_wer'] if s['test_wer'] is not None else '-'}"
+                    f"% |\n")
+        print(f"[seed_summary] wrote {opt.md}")
     return 0
 
 
