@@ -55,7 +55,7 @@ def escape_epoch(curve, threshold):
     return None
 
 
-def leg_summary(work, threshold):
+def leg_summary(work, threshold, probe_epochs=(1, 10, 20)):
     curve = dev_curve(work)
     out = {
         "work": work,
@@ -63,6 +63,10 @@ def leg_summary(work, threshold):
         "escape_epoch": escape_epoch(curve, threshold),
         "best_dev_acc": max(curve) if curve else None,
         "final_dev_acc": curve[-1] if curve else None,
+        # pre-escape probes: every draw should sit on the same ~41%
+        # alignment plateau here if the two stacks learn identically
+        "probe_acc": {e: curve[e - 1] for e in probe_epochs
+                      if len(curve) >= e},
     }
     for split in ("dev", "test"):
         try:
