@@ -67,6 +67,8 @@ def leg_summary(work, threshold, probe_epochs=(1, 10, 20)):
         # alignment plateau here if the two stacks learn identically
         "probe_acc": {e: curve[e - 1] for e in probe_epochs
                       if len(curve) >= e},
+        # full per-epoch dev curve — the study's raw evidence
+        "dev_curve": curve,
     }
     for split in ("dev", "test"):
         try:
