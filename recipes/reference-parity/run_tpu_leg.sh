@@ -58,6 +58,10 @@ $PY pytorch_kaldi_asr_tpu.recipes.initialize_model \
 echo "[stage 4] train ($EPOCHS epochs, batch $BATCH, seed $SEED)"
 RESUME_FLAG=""
 [ "$RESUME" = 1 ] && RESUME_FLAG="-resume"
+# a combined.accu* checkpoint only exists once train+combine completed —
+# skip the whole stage then (zero-epoch fast-forward still re-runs the
+# 25-model combine sweep, minutes of chip time per flap retry)
+[ "$RESUME" = 1 ] && ls combined.accu* >/dev/null 2>&1 || \
 $PY pytorch_kaldi_asr_tpu.recipes.train \
     -read_train_dir "$DATA/train" -read_dev_dir "$DATA/dev" \
     -read_test_dir "$DATA/test" -read_vocab_file vocab.txt \
@@ -73,6 +77,12 @@ model_file=$(ls -dt combined.accu* | head -1)
 echo "[stage 5] decode with $model_file (beam $BEAM, nbest $NBEST)"
 for dir in dev test; do
     decode_dir=decode_${dir}
+    # result.txt is the split's terminal artifact; skip the split on a
+    # RESUME retry (flap tolerance: don't redo an 8-minute decode)
+    if [ "$RESUME" = 1 ] && [ -s "$decode_dir/result.txt" ]; then
+        echo "[$dir] (resume) $(cat "$decode_dir/result.txt")"
+        continue
+    fi
     mkdir -p "$decode_dir/scoring"
     $PY pytorch_kaldi_asr_tpu.recipes.decode \
         -read_data_dir "$DATA/$dir" -read_vocab_file vocab.txt \
