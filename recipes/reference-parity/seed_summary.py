@@ -72,8 +72,8 @@ def leg_summary(work, threshold, probe_epochs=(1, 10, 20)):
     }
     for split in ("dev", "test"):
         try:
-            wer, detail = best_wer(work, split)
-            out[f"{split}_wer"] = wer
+            detail = best_wer(work, split)
+            out[f"{split}_wer"] = detail["wer"]
             out[f"{split}_detail"] = detail
         except (Exception, SystemExit):  # leg not decoded yet
             out[f"{split}_wer"] = None
