@@ -692,15 +692,20 @@ class _AttentionStream:
     full audio, preserving the reference decode.py result contract
     exactly (partials are a serving-side extra; the reference has none).
 
-    Compile discipline: client chunks are re-chunked server-side
-    (FixedChunkStream), memory is padded to MEM_PAD-frame multiples, and
-    forced-prefix lengths are quantized down to PREFIX_QUANT multiples —
-    so a session compiles O(audio/MEM_PAD) search shapes, not one per
-    push."""
+    Compile discipline AND transfer discipline: client chunks are
+    re-chunked server-side (FixedChunkStream), the encoder memory is
+    DEVICE-RESIDENT in a capacity buffer that doubles from MEM_PAD (so a
+    session compiles O(log(audio)) search shapes), and forced-prefix
+    lengths are quantized down to PREFIX_QUANT multiples.  Keeping the
+    memory on device means each partial uploads only the NEW emit
+    (O(chunk)) instead of re-uploading the whole accumulated memory
+    (O(T)) — on a networked transport the old host-side memory made
+    per-partial latency GROW with session age (measured 293→726 ms
+    across a 60 s session, docs/SERVING.md round-5 sweep)."""
 
     PREFIX_QUANT = 32   # forced-prefix lengths: multiples of this
     STABLE_TAIL = 2     # a partial's last tokens may flip; never force them
-    MEM_PAD = 128       # memory padded to multiples (compile discipline)
+    MEM_PAD = 128       # memory capacity quantum (doubles from here)
 
     def __init__(self, recognizer, frontend, params):
         # params are PINNED at creation: a mid-session /reload must not
@@ -712,8 +717,32 @@ class _AttentionStream:
         self.params = params
         self.lock = recognizer.lock
         self.frames = 0          # frames already fed to the frontend
-        self._mem = []           # emitted encoder chunks, [T_i, d] each
+        self._mem_dev = None     # [1, cap, d] device-resident memory
+        self._mem_t = 0          # valid frames in _mem_dev
         self._prev_ids = []      # previous partial's token ids (no BOS/EOS)
+
+    def _append_mem(self, emit):
+        """Append an emitted encoder chunk [1, t, d] to the
+        device-resident memory, doubling capacity from MEM_PAD as needed
+        (O(log) distinct shapes per session; the copy on growth is
+        device-to-device)."""
+        import jax
+        import jax.numpy as jnp
+
+        t_new = self._mem_t + emit.shape[1]
+        cap = 0 if self._mem_dev is None else self._mem_dev.shape[1]
+        if t_new > cap:
+            new_cap = self.MEM_PAD
+            while new_cap < t_new:
+                new_cap *= 2
+            buf = jnp.zeros((1, new_cap, emit.shape[2]), jnp.float32)
+            if self._mem_dev is not None:
+                buf = jax.lax.dynamic_update_slice(
+                    buf, self._mem_dev, (0, 0, 0))
+            self._mem_dev = buf
+        self._mem_dev = jax.lax.dynamic_update_slice(
+            self._mem_dev, emit, (0, self._mem_t, 0))
+        self._mem_t = t_new
 
     def sync(self, chunks):
         """Feed any accumulated-audio frames the frontend has not seen
@@ -732,21 +761,23 @@ class _AttentionStream:
             nbest_from_result,
         )
 
+        import jax
+        import jax.numpy as jnp
+
         with self.lock:
             acc = np.concatenate(chunks, axis=0).astype(np.float32)
             if acc.shape[0] > self.frames:
                 emit = self.frontend.push(acc[None, self.frames:])
                 self.frames = acc.shape[0]
                 if emit is not None:
-                    self._mem.append(np.asarray(emit[0], np.float32))
-            if not self._mem:
+                    self._append_mem(jnp.asarray(emit, jnp.float32))
+            if self._mem_t == 0:
                 return None
-            mem = np.concatenate(self._mem, axis=0)  # [T, d]
-            t = mem.shape[0]
-            tp = -(-t // self.MEM_PAD) * self.MEM_PAD
-            enc = np.zeros((1, tp, mem.shape[1]), np.float32)
-            enc[0, :t] = mem
-            mask = np.zeros((1, tp), np.float32)
+            enc = self._mem_dev
+            t, cap = self._mem_t, enc.shape[1]
+            # tiny [1, cap] host->device mask; the memory itself stays
+            # on device (the O(chunk)-per-partial transfer contract)
+            mask = np.zeros((1, cap), np.float32)
             mask[0, :t] = 1.0
             max_len = self.rec.max_len
             p = len(self._prev_ids) - self.STABLE_TAIL

@@ -667,10 +667,15 @@ def test_attention_stream_incremental_partials(banded_model_dir):
     # exact-streaming encoder: the session memory equals offline encode
     from pytorch_kaldi_asr_tpu.models.transformer import encode
 
-    mem = np.concatenate(astream._mem, axis=0)
+    # memory is device-resident in a capacity buffer; valid rows only
+    mem = np.asarray(astream._mem_dev[0, :astream._mem_t])
     off, _ = encode(rec.params, cfg, audio[None],
                     np.ones((1, 12), np.uint8), train=False)
     np.testing.assert_allclose(mem, np.asarray(off[0]), atol=2e-4)
+    # capacity doubles from MEM_PAD; the tail beyond _mem_t is zeros
+    assert astream._mem_dev.shape[1] >= astream._mem_t
+    assert float(np.abs(np.asarray(
+        astream._mem_dev[0, astream._mem_t:])).max(initial=0.0)) == 0.0
     # final partial == offline recognize (prefix is 0 here: the quant
     # floor exceeds these short hypotheses, so the memory search IS the
     # full search over the same masked memory)
