@@ -1223,22 +1223,26 @@ def make_handler(recognizer, sessions=None, stats=None):
                 out = {"frames": frames}
                 decoded = False
                 if payload.get("partial"):
-                    # incremental path: carried streaming encoder +
-                    # prefix-restarted KV beam (_AttentionStream), built
-                    # lazily on the FIRST partial request (plain
-                    # push/finish sessions never pay the streaming
-                    # encoder) and caught up from the accumulated chunks.
-                    # Falls back to re-decoding the accumulated audio when
-                    # the model cannot stream exactly or no encoder
-                    # output is available yet.  finish() below stays a
-                    # full offline decode either way (reference decode.py
-                    # result contract).
+                    # Measured dispatch (docs/SERVING.md round-5 sweep):
+                    # the bucketed full re-decode is FLAT in session age
+                    # and <= the incremental path at every measured
+                    # length (15/60/120 s), so it is the default while
+                    # the audio fits the decode buckets.  Beyond the
+                    # largest bucket re-decode TRUNCATES, so the
+                    # incremental stream (also flat: device-resident
+                    # memory, O(chunk) transfer per partial) takes over
+                    # — its streaming encoder catches up from the
+                    # accumulated chunks on first use.  finish() below
+                    # stays a full offline decode either way (reference
+                    # decode.py result contract).
                     partial = None
-                    astream = sessions.get_astream(
-                        sid, recognizer.new_attention_stream)
                     chunks = sessions.snapshot(sid)
-                    if astream is not None and chunks:
-                        partial = astream.sync(chunks)
+                    total = sum(c.shape[0] for c in chunks) if chunks else 0
+                    if chunks and total > max(recognizer.buckets):
+                        astream = sessions.get_astream(
+                            sid, recognizer.new_attention_stream)
+                        if astream is not None:
+                            partial = astream.sync(chunks)
                     if partial is None and chunks:
                         acc = np.concatenate(chunks, axis=0)
                         hyps, _ = recognizer.recognize(acc, nbest=1)
